@@ -1,0 +1,189 @@
+"""Text-normalization pandas UDFs (Arrow-batched).
+
+``StringClean`` mirrors the reference's normalization pipeline
+(stdlib/udfs/string.py:188-413) stage-for-stage: emoji strip → whitespace
+collapse → l33t digit folding → homoglyph translation → unicode
+normalization → case folding → space/punctuation removal. The
+reference's ~1500-entry homoglyph table and the ``anyascii`` dependency
+are approximated here with NFKD-based diacritic stripping plus a compact
+hand-written confusables table (documented divergence; the stage order
+and flag semantics are identical).
+
+``StringExtractDomains`` / ``StringExtractURLs``
+(string.py:425-483) re-implement the token-regex + urlparse pipeline;
+output lists are **sorted** (the reference returns set-ordered lists —
+a documented nondeterminism we fix).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from urllib.parse import urlparse, urlunparse
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osprey_spark.sml import types as st
+from osprey_spark.sml.compiler import CV
+
+_SPACE_RE = re.compile(r"\s+")
+_URL_TOKEN_RE = re.compile(r"(https?:\/\/[^\/\s][^\s\)>]+)")
+_EMOJI_RE = re.compile(
+    "["
+    "\U0001f300-\U0001faff"
+    "\U00002700-\U000027bf"
+    "\U0001f000-\U0001f0ff"
+    "\U00002600-\U000026ff"
+    "\U0001f1e6-\U0001f1ff"
+    "︎️‍"
+    "]+"
+)
+
+# l33t: |\| -> N-ish digit folding as in the reference: pipe+number → 1<d>,
+# and 3→e inside alphabetic context
+_L33T_PIPE_NUM_RE = re.compile(r"\|(\d)")
+_L33T_THREES_RE = re.compile(r"([a-zA-Z]*)(3+)([a-zA-Z]*)")
+
+# compact confusables map (subset of the reference's homoglyph tables)
+_CONFUSABLES = str.maketrans(
+    {
+        "0": "o", "1": "l", "$": "s", "@": "a", "!": "i",
+        "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "х": "x",  # cyrillic
+        "ı": "i", "ℓ": "l",
+    }
+)
+
+
+def _sub_threes(m: re.Match) -> str:
+    return f"{m.group(1)}{'e' * len(m.group(2))}{m.group(3)}" if m.group(1) or m.group(3) else m.group(2)
+
+
+def _clean_one(
+    s: str,
+    form: str,
+    remove_emoji: bool,
+    space: bool,
+    l33t: bool,
+    homoglyph: bool,
+    unicode_normalize: bool,
+    unidecode: bool,
+    upper: bool,
+    lower: bool,
+    remove_space: bool,
+    remove_punctuation: bool,
+) -> str:
+    if remove_emoji:
+        s = _EMOJI_RE.sub(" ", s)
+    if space:
+        s = _SPACE_RE.sub(" ", s)
+    if l33t:
+        s = _L33T_PIPE_NUM_RE.sub(r"1\1", s)
+        s = _L33T_THREES_RE.sub(_sub_threes, s)
+    if homoglyph:
+        s = s.translate(_CONFUSABLES)
+    if unicode_normalize:
+        new_s = unicodedata.normalize(form, s)
+        if len(s) != len(new_s):
+            new_s = "".join((unicodedata.normalize(form, ch) or ch)[0] for ch in s)
+        s = new_s
+    if unidecode:
+        s = "".join(
+            c for c in unicodedata.normalize("NFKD", s) if not unicodedata.combining(c)
+        ).encode("ascii", "ignore").decode("ascii")
+    if upper and not lower:
+        s = s.upper()
+    if lower:
+        s = s.lower()
+    if remove_space:
+        s = _SPACE_RE.sub("", s)
+    if remove_punctuation:
+        s = "".join(ch for ch in s if unicodedata.category(ch)[0] not in "SP")
+    return s
+
+
+def _make_clean_udf(flags: dict):
+    @F.pandas_udf(T.StringType())
+    def clean(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else _clean_one(v, **flags))
+
+    return clean
+
+
+def string_clean_impl(comp, call, args):
+    from osprey_spark.sml.stdlib import _arg, _const
+
+    s = _arg(comp, call, "s")
+    flags = {
+        "form": _const(comp, call, "form", "NFKC"),
+        "remove_emoji": bool(_const(comp, call, "remove_emoji", False)),
+        "space": bool(_const(comp, call, "space", True)),
+        "l33t": bool(_const(comp, call, "l33t", True)),
+        "homoglyph": bool(_const(comp, call, "homoglyph", True)),
+        "unicode_normalize": bool(_const(comp, call, "unicode_normalize", True)),
+        "unidecode": bool(_const(comp, call, "unidecode", False)),
+        "upper": bool(_const(comp, call, "upper", False)),
+        "lower": bool(_const(comp, call, "lower", False)),
+        "remove_space": bool(_const(comp, call, "remove_space", False)),
+        "remove_punctuation": bool(_const(comp, call, "remove_punctuation", False)),
+    }
+    if flags["form"] not in ("NFC", "NFKC", "NFD", "NFKD"):
+        from osprey_spark.sml.parser import SmlError
+
+        raise SmlError(f"invalid `form` {flags['form']!r}", call.span)
+    return CV(_make_clean_udf(flags)(s.col), st.STR)
+
+
+def _extract_hosts(text: str) -> list[str]:
+    out = set()
+    for token in _URL_TOKEN_RE.findall(text):
+        try:
+            u = urlparse(token)
+        except ValueError:
+            continue
+        if u.scheme and u.netloc:
+            netloc = u.netloc
+            if netloc.startswith("["):
+                end = netloc.find("]")
+                host = netloc[: end + 1] if end != -1 else netloc.split(":")[0]
+            else:
+                host = netloc.split(":")[0]
+            out.add(host)
+    return sorted(out)
+
+
+def _extract_urls(text: str) -> list[str]:
+    out = set()
+    for token in _URL_TOKEN_RE.findall(text):
+        try:
+            u = urlparse(token)
+        except ValueError:
+            continue
+        if u.scheme and u.netloc:
+            out.add(urlunparse(u))
+    return sorted(out)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_domains_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _extract_hosts(v))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_urls_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _extract_urls(v))
+
+
+def string_extract_domains_impl(comp, call, args):
+    from osprey_spark.sml.stdlib import _arg
+
+    s = _arg(comp, call, "s")
+    return CV(extract_domains_udf(s.col), st.list_of(st.STR))
+
+
+def string_extract_urls_impl(comp, call, args):
+    from osprey_spark.sml.stdlib import _arg
+
+    s = _arg(comp, call, "s")
+    return CV(extract_urls_udf(s.col), st.list_of(st.STR))

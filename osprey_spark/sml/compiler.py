@@ -1,0 +1,652 @@
+"""SML → Spark compiler.
+
+The reference executes a dependency DAG per event with gevent
+(engine/executor/executor.py:302-435). Here the whole ruleset is compiled
+**once** into a tree of ``pyspark.sql.Column`` expressions and applied to
+an entire DataFrame per batch — Catalyst handles common-subexpression
+reuse, constant folding, and column pruning that the reference implements
+by hand (execution_graph.py:93-100, udf/arguments.py:25-100).
+
+Key semantic mappings (SURVEY.md §2.B):
+
+- a *failed* node in the reference is a **null** column here; null
+  propagates to consumers exactly like failure poisoning
+- top-level assignments become output columns (extraction rules of
+  ast/grammar.py:354-378: ``_local`` names, literal constants and
+  Secret-annotated values are not extracted)
+- ``Import``/``Require`` are statically expanded; ``Require(require_if=…)``
+  gates every output of the required file with ``F.when(cond, …)``
+  (dataflow, not control flow)
+- effects (``DeclareVerdict``/``LabelAdd``/``LabelRemove``) become array
+  columns ``__verdicts`` / ``__entity_label_mutations`` plus structured
+  label-mutation entries consumed by the label-state sink
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osprey_spark import exprs
+from osprey_spark.sml import nodes as g
+from osprey_spark.sml import types as st
+from osprey_spark.sml.parser import SmlError, parse_source
+
+_NOT_CONST = object()
+
+
+@dataclass
+class RuleInfo:
+    name: str
+    description: str
+    col: Column  # nullable boolean: null == the rule failed
+
+
+@dataclass
+class EffectSpec:
+    kind: str  # verdict | label_add | label_remove | custom
+    verdict: Optional[str] = None
+    entity_type: Optional[str] = None
+    entity_id_col: Optional[Column] = None
+    label: Optional[str] = None
+    expires_after: Optional[float] = None
+    has_apply_if: bool = False
+    apply_if_col: Optional[Column] = None
+    # custom effects (plugin surface, e.g. the reference's example BanUser):
+    feature_name: Optional[str] = None
+    value_col: Optional[Column] = None
+
+
+@dataclass
+class CV:
+    """A compiled SML value."""
+
+    col: Optional[Column]
+    typ: st.SmlType
+    const: Any = _NOT_CONST
+    entity_type: Optional[str] = None
+    rule: Optional[RuleInfo] = None
+    effect: Optional[EffectSpec] = None
+
+    @property
+    def is_const(self) -> bool:
+        return self.const is not _NOT_CONST
+
+
+@dataclass
+class VerdictEntry:
+    cond: Column
+    verdict: str
+
+
+@dataclass
+class LabelEntry:
+    """One potential label mutation.
+
+    ``present_cond``: the effect was emitted (appears in
+    ``__entity_label_mutations`` — reference adds every ``then`` effect of a
+    fired WhenRules to the context, stdlib/udfs/rules.py:218-223).
+    ``apply_cond``: the mutation actually applies to label state (the
+    LabelOutputSink filters suppressed effects and false dependent rules,
+    worker/sinks/sink/output_sink.py:186-211).
+    """
+
+    present_cond: Column
+    apply_cond: Column
+    entity_type: str
+    entity_id_col: Column
+    label: str
+    status_name: str  # ADDED | REMOVED
+    expires_after: Optional[float]
+
+
+@dataclass
+class CustomEffectEntry:
+    cond: Column
+    feature_name: str
+    value_col: Column
+
+
+@dataclass
+class Feature:
+    name: str
+    col: Column
+    typ: st.SmlType
+    extracted: bool
+
+
+class CompileContext:
+    def __init__(
+        self,
+        sources: dict[str, str],
+        input_schema: T.StructType,
+        udf_registry: dict[str, "UdfImpl"],
+        action_name_col: Optional[str] = None,
+        action_id_col: Optional[str] = None,
+        timestamp_col: str = "ts",
+        data_json_col: Optional[str] = None,
+    ):
+        self.sources = sources
+        self.input_schema = input_schema
+        self.registry = udf_registry
+        self.action_name_col = action_name_col
+        self.action_id_col = action_id_col
+        self.timestamp_col = timestamp_col
+        self.data_json_col = data_json_col
+
+        self.env: dict[str, CV] = {}
+        self.features: list[Feature] = []
+        self.verdicts: list[VerdictEntry] = []
+        self.labels: list[LabelEntry] = []
+        self.custom_effects: list[CustomEffectEntry] = []
+        self.error_indicators: list[Column] = []
+        self.rules: dict[str, RuleInfo] = {}
+        self._processed_files: set[str] = set()
+        self._gate: Optional[Column] = None
+        self.current_annotation: Optional[st.SmlType] = None
+        self.current_annotation_optional: bool = False
+        self._pending_assign_name: Optional[str] = None
+
+    # -- helpers used by UDF implementations --------------------------------
+
+    def gated(self, col: Column) -> Column:
+        return F.when(self._gate, col) if self._gate is not None else col
+
+    def gate_cond(self, cond: Column) -> Column:
+        return (self._gate & cond) if self._gate is not None else cond
+
+    def add_error_indicator(self, cond: Column) -> None:
+        self.error_indicators.append(self.gate_cond(cond))
+
+    def input_col(self, dotted: str) -> Optional[tuple[Column, st.SmlType]]:
+        """Resolve a dotted path against the input schema (nested structs ok)."""
+        parts = dotted.split(".")
+        cur: T.DataType = self.input_schema
+        for p in parts:
+            if not isinstance(cur, T.StructType) or p not in cur.fieldNames():
+                return None
+            cur = cur[p].dataType
+        return F.col(dotted), st.from_spark_type(cur)
+
+    def const_of(self, cv: CV, call: g.Call, arg: str) -> Any:
+        if not cv.is_const:
+            raise SmlError(f"argument `{arg}` of `{call.func}` must be a literal", call.span)
+        return cv.const
+
+
+UdfImpl = Callable[[CompileContext, g.Call, dict[str, "ArgValue"]], CV]
+
+
+@dataclass
+class ArgValue:
+    """A compiled argument: the value plus its raw AST node (some UDFs need
+    the AST — e.g. Rule descriptions, Require f-string globs)."""
+
+    cv: Optional[CV]
+    node: g.Node
+
+
+@dataclass
+class CompiledRuleset:
+    features: list[Feature]
+    verdicts: list[VerdictEntry]
+    labels: list[LabelEntry]
+    custom_effects: list[CustomEffectEntry]
+    error_indicators: list[Column]
+    rules: dict[str, RuleInfo]
+    action_id_col: Optional[str]
+    timestamp_col: str
+
+    def output_columns(self, include_internal: bool = True) -> list[Column]:
+        cols: list[Column] = []
+        for f in self.features:
+            if f.extracted:
+                cols.append(f.col.alias(f.name))
+        if include_internal:
+            cols.extend(self.internal_columns())
+        return cols
+
+    def internal_columns(self) -> list[Column]:
+        cols = []
+        if self.action_id_col:
+            cols.append(F.col(self.action_id_col).alias("__action_id"))
+        cols.append(F.col(self.timestamp_col).alias("__timestamp"))
+        if self.error_indicators:
+            err = None
+            for ind in self.error_indicators:
+                term = F.coalesce(ind.cast("int"), F.lit(0))
+                err = term if err is None else (err + term)
+            cols.append(err.alias("__error_count"))
+        else:
+            cols.append(F.lit(0).alias("__error_count"))
+        cols.append(self.verdicts_col().alias("__verdicts"))
+        cols.append(self.label_mutations_col().alias("__entity_label_mutations"))
+        # plugin custom effect features (e.g. __ban_user)
+        by_name: dict[str, list[CustomEffectEntry]] = {}
+        for ce in self.custom_effects:
+            by_name.setdefault(ce.feature_name, []).append(ce)
+        for name, entries in by_name.items():
+            arr = F.array(*[F.when(e.cond, e.value_col) for e in entries])
+            cols.append(F.filter(arr, lambda x: x.isNotNull()).alias(f"__{name}"))
+        return cols
+
+    def verdicts_col(self) -> Column:
+        if not self.verdicts:
+            return F.array().cast("array<string>")
+        arr = F.array(*[F.when(v.cond, F.lit(v.verdict)) for v in self.verdicts])
+        return F.filter(arr, lambda x: x.isNotNull())
+
+    def label_mutations_col(self) -> Column:
+        if not self.labels:
+            return F.array().cast("array<string>")
+        arr = F.array(
+            *[
+                F.when(
+                    e.present_cond,
+                    F.lit(f"{e.entity_type}/{e.label}/LabelStatus.{e.status_name}"),
+                )
+                for e in self.labels
+            ]
+        )
+        return F.filter(arr, lambda x: x.isNotNull())
+
+    def apply(
+        self,
+        df: DataFrame,
+        passthrough: Optional[list[str]] = None,
+        include_internal: bool = True,
+    ) -> DataFrame:
+        """Evaluate the whole ruleset for every row of ``df`` in one
+        vectorized ``select`` — the Catalyst analogue of the reference's
+        per-event executor loop (executor.py:302-435)."""
+        pt = passthrough if passthrough is not None else df.columns
+        cols = [F.col(c) for c in pt]
+        cols.extend(self.output_columns(include_internal=include_internal))
+        return df.select(*cols)
+
+    def label_mutation_rows(self, df: DataFrame, extra_cols: Optional[list[str]] = None) -> DataFrame:
+        """Structured label mutations (one row per applied mutation) for the
+        label-state sink: entity_type, entity_id, label_name, status, expires_ts.
+
+        Status encoding follows worker/lib/osprey_shared/labels.py:41-57
+        (REMOVED=0, ADDED=1)."""
+        extra = extra_cols or []
+        if not self.labels:
+            schema = ", ".join(
+                [*(f"{c} string" for c in extra),
+                 "entity_type string, entity_id string, label_name string",
+                 "status int, event_ts timestamp, expires_ts timestamp"]
+            )
+            return df.sparkSession.createDataFrame([], schema)
+        structs = []
+        for e in self.labels:
+            status = 1 if e.status_name == "ADDED" else 0
+            expires = (
+                F.col(self.timestamp_col) + F.make_dt_interval(secs=F.lit(float(e.expires_after)))
+                if e.expires_after is not None
+                else F.lit(None).cast("timestamp")
+            )
+            structs.append(
+                F.when(
+                    e.apply_cond,
+                    F.struct(
+                        F.lit(e.entity_type).alias("entity_type"),
+                        e.entity_id_col.cast("string").alias("entity_id"),
+                        F.lit(e.label).alias("label_name"),
+                        F.lit(status).alias("status"),
+                        F.col(self.timestamp_col).alias("event_ts"),
+                        expires.alias("expires_ts"),
+                    ),
+                )
+            )
+        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        out = df.select(*extra, F.explode(arr).alias("m"))
+        return out.select(*extra, "m.*")
+
+
+class RulesetCompiler:
+    def __init__(
+        self,
+        sources: dict[str, str],
+        input_schema: T.StructType,
+        udf_registry: Optional[dict[str, UdfImpl]] = None,
+        action_name_col: Optional[str] = None,
+        action_id_col: Optional[str] = None,
+        timestamp_col: str = "ts",
+        data_json_col: Optional[str] = None,
+    ):
+        if udf_registry is None:
+            from osprey_spark.sml.stdlib import default_registry
+
+            udf_registry = default_registry()
+        self.ctx = CompileContext(
+            sources=sources,
+            input_schema=input_schema,
+            udf_registry=udf_registry,
+            action_name_col=action_name_col,
+            action_id_col=action_id_col,
+            timestamp_col=timestamp_col,
+            data_json_col=data_json_col,
+        )
+
+    _pending: dict
+    _in_progress: set
+
+    def compile(self, entry: str = "main.sml") -> CompiledRuleset:
+        ctx = self.ctx
+        self._pending = {}
+        self._in_progress = set()
+        self._process_file(entry)
+        return CompiledRuleset(
+            features=ctx.features,
+            verdicts=ctx.verdicts,
+            labels=ctx.labels,
+            custom_effects=ctx.custom_effects,
+            error_indicators=ctx.error_indicators,
+            rules=ctx.rules,
+            action_id_col=ctx.action_id_col,
+            timestamp_col=ctx.timestamp_col,
+        )
+
+    # -- statement walk ------------------------------------------------------
+
+    def _process_file(self, path: str, gate: Optional[Column] = None) -> None:
+        """Execution is dependency-ordered, not statement-ordered — the
+        reference runs a TopologicalSorter over the node DAG
+        (execution_context.py:242-260). Here: all assignments of a file are
+        registered as *pending* first, then statements run in order with
+        lazy on-demand compilation of any name referenced before its
+        statement position."""
+        ctx = self.ctx
+        if path in ctx._processed_files:
+            return
+        if path not in ctx.sources:
+            raise SmlError(f"rule file not found: {path}")
+        ctx._processed_files.add(path)
+        root = parse_source(ctx.sources[path], path)
+        prev_gate = ctx._gate
+        if gate is not None:
+            ctx._gate = gate if prev_gate is None else (prev_gate & gate)
+        file_gate = ctx._gate
+        try:
+            for stmt in root.statements:
+                if isinstance(stmt, g.Assign):
+                    name = stmt.target.identifier
+                    if name in self._pending or name in ctx.env:
+                        raise SmlError(f"duplicate feature name `{name}`", stmt.span)
+                    self._pending[name] = (stmt, file_gate)
+            for stmt in root.statements:
+                if isinstance(stmt, g.Assign):
+                    self._ensure(stmt.target.identifier, stmt.span)
+                elif isinstance(stmt, g.ExprStatement):
+                    self._process_call_statement(stmt.call)
+        finally:
+            ctx._gate = prev_gate
+
+    def _ensure(self, name: str, span: g.Span) -> None:
+        """Compile a pending assignment now (on first reference)."""
+        ctx = self.ctx
+        if name in ctx.env:
+            return
+        entry = self._pending.get(name)
+        if entry is None:
+            raise SmlError(f"undefined variable `{name}`", span)
+        if name in self._in_progress:
+            raise SmlError(f"circular dependency through `{name}`", span)
+        stmt, gate = entry
+        self._in_progress.add(name)
+        prev_gate = ctx._gate
+        ctx._gate = gate
+        try:
+            self._process_assign(stmt)
+        finally:
+            ctx._gate = prev_gate
+            self._in_progress.discard(name)
+            self._pending.pop(name, None)
+
+    def _process_assign(self, stmt: g.Assign) -> None:
+        ctx = self.ctx
+        ann_type = None
+        secret = False
+        optional = False
+        if stmt.annotation is not None:
+            secret = stmt.annotation.base in ("Secret", "ExtractSecret")
+            optional = stmt.annotation.base == "Optional" or (
+                stmt.annotation.param is not None and stmt.annotation.param.base == "Optional"
+            )
+            ann_type = self._ann_to_type(stmt.annotation)
+        ctx.current_annotation = ann_type
+        ctx.current_annotation_optional = optional
+        ctx._pending_assign_name = stmt.target.identifier
+        try:
+            cv = self.compile_expr(stmt.value)
+        finally:
+            ctx.current_annotation = None
+            ctx.current_annotation_optional = False
+            ctx._pending_assign_name = None
+
+        name = stmt.target.identifier
+        if cv.typ.base == "rule" and cv.rule is not None:
+            # name the rule after the feature (stdlib/udfs/rules.py:33-57)
+            cv.rule.name = name
+            ctx.rules[name] = cv.rule
+        ctx.env[name] = cv
+
+        # extraction rules: ast/grammar.py:354-378
+        is_const_literal = isinstance(
+            stmt.value, (g.String, g.Number, g.Boolean, g.NoneLiteral)
+        )
+        extracted = not (stmt.target.is_local or secret or is_const_literal)
+        if cv.col is not None and cv.typ.base not in ("effect",):
+            out_col = self._unwrap(cv)
+            ctx.features.append(
+                Feature(name=name, col=out_col, typ=cv.typ, extracted=extracted)
+            )
+
+    def _unwrap(self, cv: CV) -> Column:
+        """Post-execution-convertible unwrap (language_types/
+        post_execution_convertible.py): EntityT→id, RuleT→bool,
+        TimeDeltaT→seconds."""
+        return cv.col
+
+    def _process_call_statement(self, call: g.Call) -> None:
+        ctx = self.ctx
+        if call.func == "Import":
+            rules_cv = self.compile_expr(call.kwargs["rules"])
+            paths = ctx.const_of(rules_cv, call, "rules")
+            for p in sorted(set(paths)):
+                self._process_file(p, gate=None)
+            return
+        if call.func == "Require":
+            self._process_require(call)
+            return
+        # effect-less call statement (e.g. WhenRules)
+        self.compile_call(call)
+
+    def _process_require(self, call: g.Call) -> None:
+        """Static expansion of dynamic file requirement
+        (stdlib/udfs/require.py:14-58): every file the glob can match is
+        compiled, each gated on `formatted_path == that_path [AND require_if]`."""
+        ctx = self.ctx
+        rule_node = call.kwargs["rule"]
+        cond: Optional[Column] = None
+        if "require_if" in call.kwargs:
+            cond_cv = self.compile_expr(call.kwargs["require_if"])
+            cond = exprs.truthy(cond_cv.col)
+
+        if isinstance(rule_node, g.String):
+            self._process_file(rule_node.value, gate=cond)
+            return
+        if isinstance(rule_node, g.FormatString):
+            import fnmatch
+
+            glob_path = rule_node.format_string.format(
+                **{n.identifier: "*" for n in rule_node.names}
+            )
+            matches = [p for p in ctx.sources if fnmatch.fnmatch(p, glob_path)]
+            if not matches:
+                raise SmlError(f"Require glob `{glob_path}` matches no rule files", call.span)
+            path_col = self._compile_fstring(rule_node).col
+            for p in sorted(matches):
+                path_gate = path_col.eqNullSafe(F.lit(p))
+                file_gate = path_gate if cond is None else (path_gate & cond)
+                self._process_file(p, gate=file_gate)
+            return
+        raise SmlError("Require(rule=...) must be a string or f-string literal", call.span)
+
+    def _ann_to_type(self, ann: g.TypeAnn) -> st.SmlType:
+        param = self._ann_to_type(ann.param) if ann.param else None
+        return st.from_annotation(ann.base, param)
+
+    # -- expression compilation ---------------------------------------------
+
+    def compile_expr(self, node: g.Node) -> CV:
+        ctx = self.ctx
+        if isinstance(node, g.Name):
+            if node.identifier not in ctx.env:
+                self._ensure(node.identifier, node.span)
+            return ctx.env[node.identifier]
+        if isinstance(node, g.String):
+            return CV(F.lit(node.value), st.STR, const=node.value)
+        if isinstance(node, g.Number):
+            typ = st.INT if isinstance(node.value, int) else st.FLOAT
+            return CV(F.lit(node.value), typ, const=node.value)
+        if isinstance(node, g.Boolean):
+            return CV(F.lit(node.value), st.BOOL, const=node.value)
+        if isinstance(node, g.NoneLiteral):
+            return CV(F.lit(None), st.NONE, const=None)
+        if isinstance(node, g.ListLiteral):
+            items = [self.compile_expr(i) for i in node.items]
+            if not items:
+                return CV(F.array().cast("array<string>"), st.list_of(st.ANY), const=[])
+            elem = items[0].typ
+            for it in items[1:]:
+                if it.typ.base != elem.base:
+                    elem = st.FLOAT if st.is_numeric(it.typ) and st.is_numeric(elem) else st.ANY
+            col = F.array(*[i.col for i in items])
+            cv = CV(col, st.list_of(elem))
+            if all(i.is_const for i in items):
+                cv.const = [i.const for i in items]
+            return cv
+        if isinstance(node, g.FormatString):
+            return self._compile_fstring(node)
+        if isinstance(node, g.BinaryOp):
+            return self._compile_binop(node)
+        if isinstance(node, g.Compare):
+            return self._compile_compare(node)
+        if isinstance(node, g.BoolOp):
+            vals = [self.compile_expr(v) for v in node.values]
+            fn = exprs.and_ if node.op == "and" else exprs.or_
+            return CV(fn(*[v.col for v in vals]), st.BOOL)
+        if isinstance(node, g.UnaryOp):
+            operand = self.compile_expr(node.operand)
+            if node.op == "not":
+                return CV(exprs.not_(operand.col), st.BOOL)
+            if node.op == "-":
+                return CV(-operand.col, operand.typ)
+            return operand
+        if isinstance(node, g.Call):
+            return self.compile_call(node)
+        raise SmlError(f"cannot compile node {type(node).__name__}", node.span)
+
+    def _compile_fstring(self, node: g.FormatString) -> CV:
+        parts: list[Column] = []
+        fmt = node.format_string
+        # split on placeholders in order
+        import re
+
+        idx = 0
+        for m in re.finditer(r"\{([^\d\W]\w*)\}", fmt):
+            literal = fmt[idx : m.start()].replace("{{", "{").replace("}}", "}")
+            if literal:
+                parts.append(F.lit(literal))
+            cv = self.compile_expr(g.Name(span=node.span, identifier=m.group(1)))
+            col = cv.col
+            if cv.typ.base == "bool":
+                col = F.when(col, F.lit("True")).otherwise(F.lit("False"))
+            else:
+                col = col.cast("string")
+            parts.append(col)
+            idx = m.end()
+        tail = fmt[idx:].replace("{{", "{").replace("}}", "}")
+        if tail:
+            parts.append(F.lit(tail))
+        if not parts:
+            return CV(F.lit(""), st.STR, const="")
+        # concat propagates null if any interpolated name is null/failed
+        return CV(F.concat(*parts), st.STR)
+
+    def _compile_binop(self, node: g.BinaryOp) -> CV:
+        l = self.compile_expr(node.left)
+        r = self.compile_expr(node.right)
+        op = node.op
+        # type transitions: validate_static_types.py:810-846
+        if op == "+" and l.typ.base == "str":
+            return CV(F.concat(l.col, r.col), st.STR)
+        if op == "*" and st.STR in (l.typ, r.typ):
+            s, n = (l, r) if l.typ.base == "str" else (r, l)
+            return CV(F.repeat(s.col, n.col.cast("int")), st.STR)
+        if op in ("<<", ">>", "|", "&", "^"):
+            lc, rc = l.col.cast("long"), r.col.cast("long")
+            out = {
+                "<<": F.shiftleft(lc, rc.cast("int")),
+                ">>": F.shiftright(lc, rc.cast("int")),
+                "|": lc.bitwiseOR(rc),
+                "&": lc.bitwiseAND(rc),
+                "^": lc.bitwiseXOR(rc),
+            }[op]
+            return CV(out, st.INT)
+        res_t = st.unify_numeric(l.typ, r.typ) if st.is_numeric(l.typ) and st.is_numeric(r.typ) else st.FLOAT
+        is_int = res_t.base == "int"
+        if op == "+":
+            return CV(l.col + r.col, res_t)
+        if op == "-":
+            return CV(l.col - r.col, res_t)
+        if op == "*":
+            return CV(l.col * r.col, res_t)
+        if op == "/":
+            return CV(exprs.safe_div(l.col, r.col), st.FLOAT)
+        if op == "//":
+            return CV(exprs.safe_floordiv(l.col, r.col, is_int), res_t)
+        if op == "%":
+            return CV(exprs.safe_mod(l.col, r.col, is_int), res_t)
+        if op == "**":
+            return CV(exprs.py_pow(l.col, r.col, is_int), res_t)
+        raise SmlError(f"unsupported operator {op}", node.span)
+
+    def _compile_compare(self, node: g.Compare) -> CV:
+        l = self.compile_expr(node.left)
+        r = self.compile_expr(node.right)
+        op = node.op
+        if op == "==":
+            return CV(exprs.eq(l.col, r.col), st.BOOL)
+        if op == "!=":
+            return CV(exprs.ne(l.col, r.col), st.BOOL)
+        if op == "<":
+            return CV(exprs.lt(l.col, r.col), st.BOOL)
+        if op == "<=":
+            return CV(exprs.le(l.col, r.col), st.BOOL)
+        if op == ">":
+            return CV(exprs.gt(l.col, r.col), st.BOOL)
+        if op == ">=":
+            return CV(exprs.ge(l.col, r.col), st.BOOL)
+        if op in ("in", "not in"):
+            is_list = r.typ.base == "list"
+            fn = exprs.in_op if op == "in" else exprs.not_in_op
+            return CV(fn(l.col, r.col, is_list), st.BOOL)
+        raise SmlError(f"unsupported comparison {op}", node.span)
+
+    def compile_call(self, call: g.Call) -> CV:
+        ctx = self.ctx
+        impl = ctx.registry.get(call.func)
+        if impl is None:
+            raise SmlError(f"unknown UDF `{call.func}`", call.span)
+        args: dict[str, ArgValue] = {}
+        for k, vnode in call.kwargs.items():
+            # lists of rules/effects need per-item failure tolerance → pass AST
+            args[k] = ArgValue(cv=None, node=vnode)
+        return impl(self, call, args)

@@ -1,0 +1,75 @@
+"""Truth-table parity for the None-calculus — the reference's own test
+matrix (engine/executor/tests/test_binary_comparison.py:5-60) plus
+safe-division (binary_operation_executor.py:48-64), run through BOTH the
+Spark compiler and the Python oracle."""
+
+from pyspark.sql import types as T
+
+from tests.helpers import run_parity
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("__row_id", T.LongType()),
+        T.StructField("action_name", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("t", T.StringType()),
+    ]
+)
+
+import datetime
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _rows():
+    cases = [
+        dict(a=1, b=2, s="hello world", t="hello"),
+        dict(a=None, b=2, s=None, t="x"),
+        dict(a=None, b=None, s=None, t=None),
+        dict(a=5, b=0, s="abc", t="abc"),
+        dict(a=-7, b=2, s="", t=""),
+        dict(a=7, b=-2, s="Hello", t="ello"),
+    ]
+    return [
+        dict(__row_id=i, action_name="evt", ts=TS, **c) for i, c in enumerate(cases)
+    ]
+
+
+SOURCES = {
+    "main.sml": """
+A: Optional[int] = JsonData(path='$.a', required=False)
+B: Optional[int] = JsonData(path='$.b', required=False)
+S: Optional[str] = JsonData(path='$.s', required=False)
+T_: Optional[str] = JsonData(path='$.t', required=False)
+
+EqAB = A == B
+NeAB = A != B
+LtAB = A < B
+LeAB = A <= B
+GtAB = A > B
+GeAB = A >= B
+EqNone = A == None
+NeNone = A != None
+InST = T_ in S
+NotInST = T_ not in S
+InList = A in [1, 5, None]
+NotInList = A not in [2, 3]
+AndAB = EqAB and GtAB
+OrAB = LtAB or GtAB
+NotEq = not EqAB
+
+Add = A + B
+Sub = A - B
+Mul = A * B
+Div = A / B
+FloorDiv = A // B
+Mod = A % B
+"""
+}
+
+
+def test_none_calculus_truth_tables(spark):
+    run_parity(spark, SOURCES, _rows(), SCHEMA, check_error_count=False)
