@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k for one query vector — a
+  single scan + TakeOrderedAndProject (no shuffle of the data, only the
+  k winners); the dot product is a native zip_with/aggregate.
+- ``knn_join``: batch top-k for a whole table of queries via broadcast
+  of the (small) query side + per-query window top-k.
+- ``lsh_topk``: the scale path — random-hyperplane bucket pruning with
+  multi-probe (flip 1 bit), exact re-rank inside probed buckets. At
+  100 TB the bucket predicate prunes the scan to ~(probes/2^b) of rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _lit_vec(q: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. Columns: id, cosine."""
+    q = _lit_vec(query)
+    qn = float(np.linalg.norm(np.asarray(query, dtype="float64"))) or 1.0
+    cos = dot(F.col(emb_col), q) / (l2_norm(F.col(emb_col)) * F.lit(qn))
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_emb_col: Optional[str] = None,
+    q_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Top-k neighbors for every query row: broadcast the query side,
+    score all pairs, keep k per query with a window. Use only when the
+    query side is broadcastable (the point of the operator)."""
+    q_emb_col = q_emb_col or emb_col
+    q_id_col = q_id_col or id_col
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_emb_col).alias("_q"),
+        l2_norm(F.col(q_emb_col)).alias("_qn"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("_v"),
+        l2_norm(F.col(emb_col)).alias("_vn"),
+    )
+    scored = v.join(F.broadcast(q)).withColumn(
+        "cosine", F.round(dot(F.col("_v"), F.col("_q")) / (F.col("_vn") * F.col("_qn")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_bucket(
+    emb: Column, num_hyperplanes: int = 8, seed: int = 42, dim: int = 32
+) -> Column:
+    """Sign-LSH bucket id from ``num_hyperplanes`` fixed random planes."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_hyperplanes, dim))
+    bucket = None
+    for i in range(num_hyperplanes):
+        bit = F.when(dot(emb, _lit_vec(planes[i])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_hyperplanes: int = 8,
+    seed: int = 42,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: prune to the query's LSH bucket plus
+    all buckets within ``multi_probe`` bit flips, exact re-rank inside.
+
+    The bucket column is a pure expression — on a bucketed/partitioned
+    table the probe set becomes a partition-pruned scan."""
+    qv = np.asarray(query, dtype="float64")
+    dim = len(qv)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_hyperplanes, dim))
+    qbits = 0
+    margins = []
+    for i in range(num_hyperplanes):
+        proj = float(planes[i] @ qv)
+        if proj >= 0:
+            qbits |= 1 << i
+        margins.append((abs(proj), i))
+    probe_buckets = {qbits}
+    if multi_probe > 0:
+        margins.sort()
+        for _, i in margins[:multi_probe]:
+            probe_buckets.add(qbits ^ (1 << i))
+
+    bucket = hyperplane_bucket(F.col(emb_col), num_hyperplanes, seed, dim)
+    pruned = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isin(list(probe_buckets)))
+    return cosine_topk(pruned, query, k=k, emb_col=emb_col, id_col=id_col)

@@ -1,0 +1,126 @@
+"""Text analytics for training-data pipelines — language ID, quality
+scoring, token counting, document fingerprinting.
+
+All native Column expressions (whole-stage codegen): tokenization via
+``F.split``, stopword hits via array intersection, fingerprints via
+``xxhash64`` over shingles. No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword profiles for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "des", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "pour", "que"],
+    "pt": ["o", "a", "os", "as", "de", "que", "e", "em", "um", "uma", "para", "com"],
+}
+
+TOKEN_PATTERN = r"[A-Za-z0-9_']+|[^\sA-Za-z0-9_]"  # BPE-ish: words + punct marks
+WORD_SPLIT = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, no empties."""
+    return F.filter(F.split(F.btrim(text), WORD_SPLIT), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of word + punctuation tokens under the BPE-ish regex —
+    a proxy for subword token counts (regexp_count is codegen'd)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band, alpha ratio,
+    punctuation ratio, mean word length band, stopword presence."""
+    n_chars = F.length(text)
+    toks = tokens(F.lower(text))
+    n_tokens = F.size(toks)
+    n_alpha = F.regexp_count(text, F.lit(r"[A-Za-z]"))
+    n_punct = F.regexp_count(text, F.lit(r"[^\sA-Za-z0-9]"))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    en_stops = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(toks, en_stops))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / F.least(n_tokens, F.lit(12))).otherwise(F.lit(0.0))
+
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 20000), 0.25).otherwise(0.0)
+        + F.when((alpha_ratio >= 0.6), 0.25).otherwise(alpha_ratio * 0.25 / 0.6)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(F.greatest(F.lit(0.0), 0.25 - (punct_ratio - 0.2)))
+        + F.least(stop_ratio, F.lit(1.0)) * 0.15
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 12), 0.10).otherwise(0.0)
+    )
+    return F.round(score, 4)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-profile language ID: the language whose stopword set hits
+    the most tokens; 'und' when nothing hits. Native array ops only."""
+    toks = tokens(F.lower(text))
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append((lang, hits))
+    # argmax via a struct array: max of (hits, lang) picks highest hits
+    packed = F.array(
+        *[F.struct(h.alias("h"), F.lit(lang).alias("l")) for lang, h in scores]
+    )
+    best = F.array_max(packed)
+    return F.when(best["h"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """lowercase, strip punctuation, collapse whitespace — the canonical
+    form for exact-dup hashing."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.btrim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text."""
+    return F.xxhash64(normalize_for_fingerprint(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text (array<string>); documents
+    shorter than k words yield their full token join."""
+    toks = F.split(normalize_for_fingerprint(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def rolling_fingerprint(text: Column, k: int = 3) -> Column:
+    """Rolling-hash style fingerprint: min xxhash64 over word k-shingles
+    (a 1-permutation MinHash — stable under small edits)."""
+    return F.array_min(F.transform(shingles(text, k), lambda s: F.xxhash64(s)))
+
+
+def attach_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(t))
+        .withColumn("lang_id", language_id(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

@@ -1,0 +1,86 @@
+"""Exactly-once idempotent batch sink.
+
+The reference is at-least-once (Kafka producer + ack contexts,
+worker/sinks/utils/acking_contexts.py). The north-star target is an
+exactly-once Iceberg sink resumable from checkpoint. Iceberg jars are
+not in this image, so this implements the same commit protocol on plain
+parquet: a transaction log of committed micro-batch ids; data files land
+under ``data/batch=<id>/`` and become visible only when the commit
+marker exists. Replayed batches (after failure/restart mid-commit) are
+skipped — idempotent under Structured Streaming's batch-id replay
+contract, which is exactly how the Iceberg sink achieves exactly-once.
+
+Per-partition lineage: each committed batch records its source partition
+ids and row counts in the commit marker (JSON), satisfying the
+"per-partition lineage + metrics" requirement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IdempotentParquetSink:
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.commit_dir = os.path.join(path, "_commits")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.commit_dir, exist_ok=True)
+
+    def _commit_marker(self, batch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"{batch_id}.json")
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self.commit_dir)
+            if f.endswith(".json")
+        )
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_marker(batch_id))
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """foreachBatch body. Returns False when the batch was already
+        committed (replay after restart) — the exactly-once guard."""
+        if self.is_committed(batch_id):
+            return False
+        target = os.path.join(self.data_dir, f"batch={batch_id}")
+        t0 = time.time()
+        # per-partition lineage: rows per source partition id
+        with_pid = df.withColumn("_pid", F.spark_partition_id())
+        lineage_rows = with_pid.groupBy("_pid").count().collect()
+        with_pid.drop("_pid").write.mode("overwrite").parquet(target)
+        marker = {
+            "batch_id": batch_id,
+            "rows": int(sum(r["count"] for r in lineage_rows)),
+            "partitions": {str(r["_pid"]): int(r["count"]) for r in lineage_rows},
+            "wall_sec": round(time.time() - t0, 3),
+            "committed_at": time.time(),
+        }
+        tmp = self._commit_marker(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.rename(tmp, self._commit_marker(batch_id))  # atomic visibility
+        return True
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        batches = self.committed_batches()
+        if not batches:
+            return None
+        paths = [os.path.join(self.data_dir, f"batch={b}") for b in batches]
+        return spark.read.parquet(*paths)
+
+    def metrics(self) -> list[dict]:
+        out = []
+        for b in self.committed_batches():
+            with open(self._commit_marker(b)) as f:
+                out.append(json.load(f))
+        return out
