@@ -131,12 +131,12 @@ def test_label_state_merge_semantics(spark, workdir):
         r["entity_id"]
         for r in store.active_labels(spark, as_of=t0 + datetime.timedelta(hours=2)).collect()
     }
-    assert active == {"u3"}
+    assert active == {"u2", "u3"}  # u4 expired, u1 removed
     active1 = {
         r["entity_id"]
         for r in store.active_labels(spark, as_of=t0 + datetime.timedelta(minutes=30)).collect()
     }
-    assert active1 == {"u3", "u4"}
+    assert active1 == {"u2", "u3", "u4"}
 
     # HasLabel join
     df = spark.createDataFrame([("u3",), ("u9",)], "uid string")
