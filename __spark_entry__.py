@@ -20,16 +20,28 @@ START = datetime.datetime(2024, 1, 1)
 END = datetime.datetime(2024, 3, 1)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The sf0.x test tables are single small parquet files → one input
+    partition, so narrow plans would run on one core. At real scale the
+    128 MB maxPartitionBytes split does this automatically; here we
+    repartition reads up to the session's parallelism to match."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # --------------------------------------------------------------------------
@@ -459,7 +471,7 @@ def _minhash_pairs(spark, sf_dir):
     from osprey_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _documents(spark, sf_dir), num_hashes=16, bands=8, jaccard_threshold=0.4
+        _documents(spark, sf_dir), num_hashes=32, bands=8, jaccard_threshold=0.5
     ).select("id_a", "id_b")
 
 

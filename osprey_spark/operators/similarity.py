@@ -15,8 +15,10 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -31,17 +33,60 @@ def _lit_vec(q: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in q])
 
 
+def _query_cosine_udf(query: Sequence[float]):
+    """Arrow-batched cosine against a fixed query vector: the whole batch
+    is one numpy matmul (higher-order Column functions are interpreted,
+    not codegen'd — numpy is ~10x faster on wide vectors)."""
+    q = np.asarray(query, dtype="float64")
+    qn = np.linalg.norm(q) or 1.0
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        return pd.Series((m @ q) / (norms * qn))
+
+    return cos
+
+
+def pairwise_cosine_udf():
+    """Arrow-batched cosine between two array columns (for post-join
+    scoring): one einsum per batch."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype("float64")
+        mb = np.stack(b.to_numpy()).astype("float64")
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        return pd.Series(dots / (na * nb))
+
+    return cos
+
+
 def cosine_topk(
     df: DataFrame,
     query: Sequence[float],
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """Exact cosine top-k for one query vector. Columns: id, cosine."""
-    q = _lit_vec(query)
-    qn = float(np.linalg.norm(np.asarray(query, dtype="float64"))) or 1.0
-    cos = dot(F.col(emb_col), q) / (l2_norm(F.col(emb_col)) * F.lit(qn))
+    """Exact cosine top-k for one query vector. Columns: id, cosine.
+
+    Default path: Arrow-batched numpy matmul per partition →
+    TakeOrderedAndProject (only k winners shuffle). ``use_arrow=False``
+    keeps the pure-Column reference implementation."""
+    if use_arrow:
+        cos = _query_cosine_udf(query)(F.col(emb_col))
+    else:
+        q = _lit_vec(query)
+        qn = float(np.linalg.norm(np.asarray(query, dtype="float64"))) or 1.0
+        cos = dot(F.col(emb_col), q) / (l2_norm(F.col(emb_col)) * F.lit(qn))
     return (
         df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -66,15 +111,13 @@ def knn_join(
     q = queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_emb_col).alias("_q"),
-        l2_norm(F.col(q_emb_col)).alias("_qn"),
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("_v"),
-        l2_norm(F.col(emb_col)).alias("_vn"),
     )
     scored = v.join(F.broadcast(q)).withColumn(
-        "cosine", F.round(dot(F.col("_v"), F.col("_q")) / (F.col("_vn") * F.col("_qn")), 6)
+        "cosine", F.round(pairwise_cosine_udf()(F.col("_v"), F.col("_q")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -47,42 +47,47 @@ def transcripts_pdf(
     rng = np.random.default_rng(seed)
     sizes = np.minimum(rng.zipf(zipf_a, size=n_convs) + 2, max_turns)
     total = int(sizes.sum())
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
 
-    conv_ids = np.repeat([f"conv_{i:08d}" for i in range(n_convs)], sizes)
-    turn_idx = np.concatenate([np.arange(s) for s in sizes]).astype("int32")
+    conv_ids = np.repeat(
+        np.char.add("conv_", np.char.zfill(np.arange(n_convs).astype(str), 8)), sizes
+    )
+    # turn_idx = global position - conversation start offset (vectorized)
+    pos = np.arange(total, dtype="int64")
+    turn_idx = (pos - np.repeat(offsets, sizes)).astype("int32")
     roles = np.array(ROLES)[(turn_idx % 3)]
 
     tool_draw = rng.integers(0, len(TOOLS), size=total)
     tools = np.array(TOOLS)[tool_draw]
     tools = np.where(roles == "tool", tools, "")
 
-    word_idx = rng.integers(0, len(_VOCAB), size=(total, 8))
-    texts = np.array([" ".join(_VOCAB[j] for j in row) for row in word_idx], dtype=object)
-
-    # plant trigger phrases deterministically: every 13th row gets a trigger
+    # text: a deterministic pool of 4096 sentences indexed per row (fast at
+    # 10^7 rows), trigger phrases appended on every 13th row
+    pool_idx = np.random.default_rng(seed + 1).integers(0, len(_VOCAB), size=(4096, 8))
+    pool = np.array([" ".join(_VOCAB[j] for j in row) for row in pool_idx])
+    texts = pool[rng.integers(0, len(pool), size=total)].astype(object)
     trig_rows = np.arange(0, total, 13)
-    for k, r in enumerate(trig_rows):
-        texts[r] = texts[r] + " " + _TRIGGERS[k % len(_TRIGGERS)]
+    trig_vals = np.array(_TRIGGERS, dtype=object)[np.arange(len(trig_rows)) % len(_TRIGGERS)]
+    texts[trig_rows] = np.char.add(
+        np.char.add(texts[trig_rows].astype(str), " "), trig_vals.astype(str)
+    )
 
     # plant an ordered tool-abuse sequence in every 10th conversation
-    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    for ci in range(0, n_convs, 10):
-        if sizes[ci] >= 6:
-            base = offsets[ci]
-            tools[base + 1] = "search"
-            tools[base + 3] = "code_exec"
-            tools[base + 5] = "send_email"
-            roles[base + 1] = roles[base + 3] = roles[base + 5] = "tool"
+    seq_convs = np.arange(0, n_convs, 10)
+    seq_convs = seq_convs[sizes[seq_convs] >= 6]
+    for step, off in enumerate((1, 3, 5)):
+        idx = offsets[seq_convs] + off
+        tools[idx] = ("search", "code_exec", "send_email")[step]
+        roles[idx] = "tool"
 
-    # per-conversation monotone timestamps with 1-90s gaps; conversations
-    # start at staggered offsets
+    # per-conversation monotone timestamps: global cumsum of gaps minus the
+    # cumsum at each conversation's start, plus a staggered start epoch
     gaps = rng.integers(1, 90, size=total).astype("int64")
-    ts = np.empty(total, dtype="int64")
-    for ci in range(n_convs):
-        s, e = offsets[ci], offsets[ci] + sizes[ci]
-        start = BASE_EPOCH + int(rng.integers(0, 86400))
-        ts[s:e] = start + np.cumsum(gaps[s:e])
-    # inject bounded lateness: swap a small fraction of adjacent rows' ts
+    cs = np.cumsum(gaps)
+    conv_base = cs[offsets] - gaps[offsets]  # cumsum before each conv's first row
+    starts = BASE_EPOCH + rng.integers(0, 86400, size=n_convs).astype("int64")
+    ts = cs - np.repeat(conv_base, sizes) + np.repeat(starts, sizes)
+    # inject bounded lateness
     late = rng.random(total) < late_fraction
     ts[late] -= 120
 
