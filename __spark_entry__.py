@@ -471,7 +471,7 @@ def _minhash_pairs(spark, sf_dir):
     from osprey_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _documents(spark, sf_dir), num_hashes=32, bands=8, jaccard_threshold=0.5
+        _documents(spark, sf_dir), num_hashes=64, bands=16, jaccard_threshold=0.5
     ).select("id_a", "id_b")
 
 

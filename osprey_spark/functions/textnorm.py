@@ -49,9 +49,10 @@ _L33T_THREES_RE = re.compile(r"([a-zA-Z]*)(3+)([a-zA-Z]*)")
 # compact confusables map (subset of the reference's homoglyph tables)
 _CONFUSABLES = str.maketrans(
     {
-        "0": "o", "1": "l", "$": "s", "@": "a", "!": "i",
+        # ascii lookalikes (reference _HOMOGLYPHS: '1I|'→l, '0'→o, '@'→a)
+        "0": "o", "1": "l", "|": "l", "$": "s", "@": "a",
         "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "х": "x",  # cyrillic
-        "ı": "i", "ℓ": "l",
+        "ı": "i", "ℓ": "l", "ℹ": "i",
     }
 )
 

@@ -319,7 +319,14 @@ class _Evaluator:
         fn = getattr(self, f"_udf_{call.func.lower()}", None)
         if fn is None:
             raise Failure()
-        return fn(call)
+        try:
+            return fn(call)
+        except Failure:
+            raise
+        except (TypeError, AttributeError, ValueError):
+            # a UDF raising is a failed node (executor.py: unexpected
+            # exceptions poison the node and bump the error count)
+            raise Failure()
 
     def _kw(self, call, name, default=...):
         if name not in call.kwargs:

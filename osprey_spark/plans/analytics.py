@@ -149,3 +149,44 @@ def scan(
 
 def page_cursor(last_row_ts) -> str:
     return base64.b64encode(str(last_row_ts).encode()).decode()
+
+
+def event_by_id(df: DataFrame, action_id: int, id_col: str = "__action_id") -> DataFrame:
+    """Full stored execution result for one event (the console's event
+    view, routes views/events.py → stored_execution_result). A point
+    lookup — Catalyst pushes the id predicate to the scan."""
+    return df.filter(F.col(id_col) == F.lit(action_id))
+
+
+def entity_label_summary(
+    label_state: DataFrame,
+    entity_type: str,
+    entity_id: str,
+) -> DataFrame:
+    """Per-entity label view (console views/entities.py): current labels
+    with status and expiry for one entity."""
+    return label_state.filter(
+        (F.col("entity_type") == entity_type) & (F.col("entity_id") == entity_id)
+    ).select("label_name", "status", "created_at", "expires_ts")
+
+
+def event_counts_by_feature(
+    df: DataFrame,
+    feature: str,
+    entity_col: str,
+    entity_value,
+    start,
+    end,
+    ts_col: str = "__timestamp",
+) -> DataFrame:
+    """Event counts grouped by a feature for one entity (console
+    per-entity activity view): filtered agg, single shuffle."""
+    return (
+        df.filter(
+            (F.col(entity_col) == F.lit(entity_value))
+            & (F.col(ts_col) >= F.lit(start))
+            & (F.col(ts_col) < F.lit(end))
+        )
+        .groupBy(feature)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

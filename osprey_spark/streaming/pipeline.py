@@ -42,21 +42,33 @@ class RuleStreamPipeline:
         timestamp_col: str = "ts",
         input_schema: Optional[str] = None,
         watermark: str = "10 minutes",
+        watermark_seconds: int = 600,
         passthrough: Optional[list[str]] = None,
         post_plan: Optional[Callable[[DataFrame, DataFrame], DataFrame]] = None,
+        sample_rates: Optional[dict[str, float]] = None,
+        track_verdict_state: bool = False,
+        key_col: str = "conv_id",
+        salt_buckets: int = 0,
     ):
         self.spark = spark
         self.workdir = workdir
         self.watermark = watermark
+        self.watermark_seconds = watermark_seconds
         self.passthrough = passthrough or ["conv_id", "turn_idx"]
         self.post_plan = post_plan
+        self.sample_rates = sample_rates
+        self.track_verdict_state = track_verdict_state
+        self.key_col = key_col
+        self.salt_buckets = salt_buckets
         self.sink = IdempotentParquetSink(os.path.join(workdir, "results"))
         self.labels = LabelStateStore(os.path.join(workdir, "labels"))
         self.checkpoint = os.path.join(workdir, "checkpoint")
+        self._verdict_state_dir = os.path.join(workdir, "verdict_state")
         schema_str = input_schema or TRANSCRIPT_SCHEMA
         from pyspark.sql.types import _parse_datatype_string
 
         self.schema = _parse_datatype_string(schema_str)
+        self.action_name_col = action_name_col
         self.plan: CompiledRuleset = RulesetCompiler(
             sources,
             input_schema=self.schema,
@@ -65,15 +77,129 @@ class RuleStreamPipeline:
         ).compile()
         self.timestamp_col = timestamp_col
 
+    # -- per-batch preprocessing --------------------------------------------
+
+    def _sample(self, df: DataFrame) -> DataFrame:
+        """Per-action-name sampling (reference ActionSampler,
+        worker/sinks/sink/rules_sink.py:46-69). Deterministic here — rate
+        decided by a hash of the row, not random(), so replays are
+        exactly-once-safe."""
+        if not self.sample_rates:
+            return df
+        rate_expr = None
+        for name, rate in self.sample_rates.items():
+            cond = F.col(self.action_name_col) == name
+            rate_expr = (
+                F.when(cond, F.lit(rate))
+                if rate_expr is None
+                else rate_expr.when(cond, F.lit(rate))
+            )
+        rate_expr = rate_expr.otherwise(F.lit(1.0)) if rate_expr is not None else F.lit(1.0)
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(10000))
+        return df.filter(bucket < rate_expr * 10000)
+
+    def _salted(self, df: DataFrame) -> DataFrame:
+        """Optional hot-key defusal before evaluation: spread each key over
+        ``salt_buckets`` partitions (velocity.salted_repartition pattern)."""
+        if not self.salt_buckets:
+            return df
+        salt = F.pmod(F.xxhash64(F.col(self.timestamp_col)), F.lit(self.salt_buckets))
+        return df.repartition(F.col(self.key_col), salt)
+
+    def prior_verdict_counts(self) -> DataFrame:
+        """Verdict state as of the previous batch: conv_id → verdicts so
+        far. The stream-state side of cross-turn correlation."""
+        import os as _os
+
+        if _os.path.exists(_os.path.join(self._verdict_state_dir, "_VERSION")):
+            with open(_os.path.join(self._verdict_state_dir, "_VERSION")) as fh:
+                v = int(fh.read().strip())
+            return self.spark.read.parquet(_os.path.join(self._verdict_state_dir, f"v{v}"))
+        return self.spark.createDataFrame(
+            [], f"{self.key_col} string, prior_verdict_count long"
+        )
+
+    def _update_verdict_state(self, out: DataFrame) -> None:
+        state = self.prior_verdict_counts()
+        delta = (
+            out.select(self.key_col, F.size("__verdicts").alias("_n"))
+            .groupBy(self.key_col)
+            .agg(F.sum("_n").alias("_dn"))
+        )
+        merged = (
+            state.join(delta, on=self.key_col, how="full_outer")
+            .select(
+                self.key_col,
+                (
+                    F.coalesce(F.col("prior_verdict_count"), F.lit(0))
+                    + F.coalesce(F.col("_dn"), F.lit(0))
+                ).alias("prior_verdict_count"),
+            )
+        )
+        import os as _os
+
+        vf = _os.path.join(self._verdict_state_dir, "_VERSION")
+        v = 0
+        if _os.path.exists(vf):
+            with open(vf) as fh:
+                v = int(fh.read().strip()) + 1
+        _os.makedirs(self._verdict_state_dir, exist_ok=True)
+        merged.write.mode("overwrite").parquet(_os.path.join(self._verdict_state_dir, f"v{v}"))
+        with open(vf + ".tmp", "w") as fh:
+            fh.write(str(v))
+        _os.rename(vf + ".tmp", vf)
+
+    def _late_metrics(self, batch_df: DataFrame) -> dict:
+        """Late-data accounting: rows older than (high-watermark −
+        allowed lateness) are counted as late (they are still processed —
+        foreachBatch sees every row; the metric mirrors what a stateful
+        operator's watermark would have dropped)."""
+        import os as _os
+
+        hw_file = _os.path.join(self.workdir, "_HIGH_WATERMARK")
+        prev_hw = None
+        if _os.path.exists(hw_file):
+            with open(hw_file) as fh:
+                prev_hw = float(fh.read().strip())
+        agg = batch_df.agg(
+            F.max(F.unix_timestamp(F.col(self.timestamp_col))).alias("mx"),
+            (
+                F.sum(
+                    (
+                        F.unix_timestamp(F.col(self.timestamp_col))
+                        < F.lit((prev_hw or float("-inf")) - self.watermark_seconds)
+                    ).cast("long")
+                )
+            ).alias("late"),
+        ).collect()[0]
+        new_hw = max(prev_hw or float("-inf"), float(agg["mx"] or float("-inf")))
+        if new_hw != float("-inf"):
+            with open(hw_file + ".tmp", "w") as fh:
+                fh.write(str(new_hw))
+            _os.rename(hw_file + ".tmp", hw_file)
+        return {"late_rows": int(agg["late"] or 0), "high_watermark_epoch": new_hw}
+
     # -- batch body ----------------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.sink.is_committed(batch_id):
             return  # replayed batch → exactly-once skip
+        batch_df = self._salted(self._sample(batch_df))
         out = self.plan.apply(batch_df, passthrough=self.passthrough)
+        if self.track_verdict_state:
+            # stream-state join: each turn sees verdicts accumulated in
+            # PRIOR batches only (reads-before-writes ordering, matching
+            # the reference's labels: output_sink.py:186-211)
+            prior = self.prior_verdict_counts()
+            out = out.join(F.broadcast(prior), on=self.key_col, how="left").withColumn(
+                "prior_verdict_count",
+                F.coalesce(F.col("prior_verdict_count"), F.lit(0)),
+            )
         if self.post_plan is not None:
             out = self.post_plan(batch_df, out)
-        self.sink.write_batch(out, batch_id)
+        self.sink.write_batch(out, batch_id, extra=self._late_metrics(batch_df))
+        if self.track_verdict_state:
+            self._update_verdict_state(out)
         mutations = self.plan.label_mutation_rows(batch_df)
         if mutations.limit(1).count() > 0:
             self.labels.apply_mutations(mutations, batch_id=batch_id)

@@ -47,7 +47,7 @@ class IdempotentParquetSink:
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._commit_marker(batch_id))
 
-    def write_batch(self, df: DataFrame, batch_id: int) -> bool:
+    def write_batch(self, df: DataFrame, batch_id: int, extra: Optional[dict] = None) -> bool:
         """foreachBatch body. Returns False when the batch was already
         committed (replay after restart) — the exactly-once guard."""
         if self.is_committed(batch_id):
@@ -64,6 +64,7 @@ class IdempotentParquetSink:
             "partitions": {str(r["_pid"]): int(r["count"]) for r in lineage_rows},
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.time(),
+            **(extra or {}),
         }
         tmp = self._commit_marker(batch_id) + ".tmp"
         with open(tmp, "w") as f:

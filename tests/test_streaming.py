@@ -195,3 +195,46 @@ def test_windowed_velocity_stream(spark, workdir):
     q.awaitTermination()
     got = spark.sql("SELECT sum(n) AS total FROM vel_out").collect()[0]["total"]
     assert got == df.count()
+
+
+def test_pipeline_sampling_verdict_state_late_metrics(spark, workdir):
+    input_dir = os.path.join(workdir, "in2")
+    rows = [
+        ("a", 0, "user", "hello one", "", datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        ("a", 1, "user", "hello two", "", datetime.datetime(2024, 1, 1, 0, 10, 0)),
+        ("b", 0, "user", "nothing", "", datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        # second file: late row (2h behind) + another hello for conv a
+        ("a", 2, "user", "hello three", "", datetime.datetime(2024, 1, 1, 0, 20, 0)),
+        ("c", 0, "user", "way late", "", datetime.datetime(2023, 12, 31, 20, 0, 0)),
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(rows[:3], schema).write.mode("overwrite").parquet(input_dir)
+
+    pipe = RuleStreamPipeline(
+        spark, RULES, os.path.join(workdir, "p2"),
+        track_verdict_state=True, watermark_seconds=600,
+    )
+    pipe.run_until_idle(input_dir)
+    res1 = pipe.results()
+    # batch 1: no prior verdicts yet
+    assert {r["prior_verdict_count"] for r in res1.collect()} == {0}
+
+    spark.createDataFrame(rows[3:], schema).write.mode("append").parquet(input_dir)
+    pipe2 = RuleStreamPipeline(
+        spark, RULES, os.path.join(workdir, "p2"),
+        track_verdict_state=True, watermark_seconds=600,
+    )
+    pipe2.run_until_idle(input_dir)
+    res = {(r["conv_id"], r["turn_idx"]): r for r in pipe2.results().collect()}
+    # cross-turn correlation: turn a/2 sees the 2 verdicts from batch 1
+    assert res[("a", 2)]["prior_verdict_count"] == 2
+    # late-data metric recorded for the 2h-late row
+    metrics = pipe2.sink.metrics()
+    assert metrics[-1]["late_rows"] == 1
+
+    # deterministic sampling drops rows
+    pipe3 = RuleStreamPipeline(
+        spark, RULES, os.path.join(workdir, "p3"), sample_rates={"user": 0.0}
+    )
+    pipe3.run_until_idle(input_dir)
+    assert pipe3.results().count() == 0
