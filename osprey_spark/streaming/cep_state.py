@@ -1,21 +1,22 @@
 """Stateful streaming CEP: ordered-pattern matching across micro-batches.
 
 ``applyInPandasWithState`` keyed by conversation — the streaming
-counterpart of ``operators.sessions.match_sequence``. State per key:
-(current step, first-match ts, last seen turn). Turns may arrive across
-many micro-batches and slightly out of order **within** a batch (sorted
-per group before applying); emission happens once when the pattern
-completes. Timeout via event-time watermark evicts idle conversations.
+counterpart of ``operators.sessions.match_sequence``. Turns may arrive
+across any number of micro-batches and **out of order** (files/partitions
+carry no ordering guarantee): the state buffers turns that arrive ahead
+of the next expected ``turn_idx`` (contiguous per conversation, FIXTURES
+F1) and feeds the pattern state machine strictly in turn order, so the
+result is independent of arrival order — the exactly-once/replay-safe
+property the batch operator gets for free from sort_array.
 
-The step predicates are evaluated *before* the stateful operator as
-boolean columns (JVM-side), so the Python state function only folds
-booleans — the Arrow payload is (key, turn_idx, ts, step flags), not
-text.
+The step predicates are evaluated *before* the stateful operator as a
+boolean-bitmask column (JVM-side), so the Python state function only
+folds longs — the Arrow payload is (key, turn_idx, ts, mask), not text.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -23,7 +24,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "conv_id string, matched_at_turn long, matched_at_ts timestamp"
-STATE_SCHEMA = "step int, first_ts double, done boolean"
+STATE_SCHEMA = (
+    "step int, first_ts double, done boolean, next_turn long, "
+    "buf_turn array<long>, buf_ts array<double>, buf_mask array<long>"
+)
 
 
 def _make_state_fn(n_steps: int, within_seconds: int | None):
@@ -34,25 +38,50 @@ def _make_state_fn(n_steps: int, within_seconds: int | None):
             state.remove()
             yield pd.DataFrame(columns=["conv_id", "matched_at_turn", "matched_at_ts"])
             return
-        (step, first_ts, done) = state.get if state.exists else (0, 0.0, False)
-        out_rows = []
+        if state.exists:
+            step, first_ts, done, next_turn, buf_turn, buf_ts, buf_mask = state.get
+            pending = {int(t): (float(s), int(m)) for t, s, m in zip(buf_turn, buf_ts, buf_mask)}
+        else:
+            step, first_ts, done, next_turn = 0, 0.0, False, 0
+            pending = {}
+
         for pdf in pdfs:
-            if done:
-                break
-            pdf = pdf.sort_values("turn_idx")
-            for _, row in pdf.iterrows():
-                ts = row["ts"].timestamp()
-                if within_seconds is not None and step > 0 and ts - first_ts > within_seconds:
-                    step, first_ts = 0, 0.0
-                if step < n_steps and bool(row["flags"][step]):
-                    if step == 0:
-                        first_ts = ts
-                    step += 1
-                    if step == n_steps:
-                        done = True
-                        out_rows.append((key[0], int(row["turn_idx"]), row["ts"]))
-                        break
-        state.update((step, first_ts, done))
+            for t, s, m in zip(pdf["turn_idx"], pdf["ts"], pdf["mask"]):
+                t = int(t)
+                if t >= next_turn and t not in pending:
+                    pending[t] = (s.timestamp(), int(m))
+
+        out_rows = []
+        # consume strictly contiguous turns
+        while not done and next_turn in pending:
+            ts, mask = pending.pop(next_turn)
+            if within_seconds is not None and step > 0 and ts - first_ts > within_seconds:
+                step, first_ts = 0, 0.0
+            if step < n_steps and (mask >> step) & 1:
+                if step == 0:
+                    first_ts = ts
+                step += 1
+                if step == n_steps:
+                    done = True
+                    out_rows.append(
+                        (key[0], next_turn, pd.Timestamp(ts, unit="s"))
+                    )
+            next_turn += 1
+        if done:
+            pending.clear()
+
+        turns = sorted(pending)
+        state.update(
+            (
+                step,
+                first_ts,
+                done,
+                next_turn,
+                turns,
+                [pending[t][0] for t in turns],
+                [pending[t][1] for t in turns],
+            )
+        )
         yield pd.DataFrame(out_rows, columns=["conv_id", "matched_at_turn", "matched_at_ts"])
 
     return fn
@@ -68,12 +97,17 @@ def streaming_match_sequence(
 ) -> DataFrame:
     """Attach to a (possibly streaming) DataFrame of turns; emits one row
     per key when the ordered pattern completes."""
-    flags = F.array(*[F.coalesce(s.cast("boolean"), F.lit(False)) for s in steps])
+    mask = None
+    for i, s in enumerate(steps):
+        bit = F.when(F.coalesce(s.cast("boolean"), F.lit(False)), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        mask = bit if mask is None else mask + bit
     prepared = stream.select(
         F.col(key).alias("conv_id"),
         F.col(order_col).cast("long").alias("turn_idx"),
         F.col(ts_col).alias("ts"),
-        flags.alias("flags"),
+        mask.cast("long").alias("mask"),
     )
     return prepared.groupBy("conv_id").applyInPandasWithState(
         _make_state_fn(len(steps), within_seconds),

@@ -238,3 +238,51 @@ def test_pipeline_sampling_verdict_state_late_metrics(spark, workdir):
     )
     pipe3.run_until_idle(input_dir)
     assert pipe3.results().count() == 0
+
+
+def test_cep_state_fn_out_of_order():
+    """The state machine must be arrival-order independent: feed turn 2
+    before turns 0/1 (across separate micro-batches) and still match."""
+    import pandas as pd
+
+    from osprey_spark.streaming.cep_state import _make_state_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "turn_idx": [r[0] for r in rows],
+                "ts": [pd.Timestamp(2024, 1, 1, 0, 0, r[0]) for r in rows],
+                "mask": [r[1] for r in rows],
+            }
+        )
+
+    fn = _make_state_fn(3, None)
+    state = FakeState()
+    # batch 1: turn 2 (send_email step bit 2) arrives FIRST
+    out1 = pd.concat(list(fn(("a",), iter([batch([(2, 0b100)])]), state)))
+    assert out1.empty
+    # batch 2: turns 0 (search) and 1 (code_exec) arrive late
+    out2 = pd.concat(list(fn(("a",), iter([batch([(0, 0b001), (1, 0b010)])]), state)))
+    assert len(out2) == 1 and out2.iloc[0]["matched_at_turn"] == 2
+    # replays of already-consumed turns are ignored
+    out3 = pd.concat(list(fn(("a",), iter([batch([(1, 0b010)])]), state)))
+    assert out3.empty
