@@ -112,6 +112,21 @@ class CustomEffectEntry:
 
 
 @dataclass
+class LabelLookup:
+    """A HasLabel site: resolved by joining label state onto the input
+    before the expression plan runs (stdlib/udfs/labels.py:159-311 reads
+    the labels service; here it is a broadcast left join, state as-of the
+    previous batch — see streaming/label_state.py)."""
+
+    col_name: str
+    entity_type: str
+    entity_id_col: Column
+    label: str
+    status: str  # 'added' | 'removed'
+    manual: Optional[bool]  # True=manual-only, False=auto-only, None=either
+
+
+@dataclass
 class Feature:
     name: str
     col: Column
@@ -142,6 +157,7 @@ class CompileContext:
         self.features: list[Feature] = []
         self.verdicts: list[VerdictEntry] = []
         self.labels: list[LabelEntry] = []
+        self.label_lookups: list[LabelLookup] = []
         self.custom_effects: list[CustomEffectEntry] = []
         self.error_indicators: list[Column] = []
         self.rules: dict[str, RuleInfo] = {}
@@ -200,6 +216,51 @@ class CompiledRuleset:
     rules: dict[str, RuleInfo]
     action_id_col: Optional[str]
     timestamp_col: str
+    label_lookups: list[LabelLookup] = None  # type: ignore[assignment]
+
+    def resolve_label_lookups(
+        self, df: DataFrame, label_state: Optional[DataFrame]
+    ) -> DataFrame:
+        """Attach one boolean column per HasLabel site via broadcast left
+        joins against the label-state table (entity equality + expiry
+        as-of the event's own timestamp). With no state table, every
+        lookup is False — the reference's empty-labels default."""
+        for lk in self.label_lookups or []:
+            if label_state is None:
+                df = df.withColumn(lk.col_name, F.lit(False))
+                continue
+            want = [1, 3] if lk.status == "added" else [0, 2]
+            if lk.manual is True:
+                want = [s for s in want if s >= 2]
+            elif lk.manual is False:
+                want = [s for s in want if s < 2]
+            flags = (
+                label_state.filter(
+                    (F.col("entity_type") == lk.entity_type)
+                    & (F.col("label_name") == lk.label)
+                    & F.col("status").isin(want)
+                )
+                .select(
+                    F.col("entity_id").alias(f"{lk.col_name}_eid"),
+                    F.col("expires_ts").alias(f"{lk.col_name}_exp"),
+                    F.lit(True).alias(lk.col_name),
+                )
+            )
+            cond = lk.entity_id_col.cast("string") == F.col(f"{lk.col_name}_eid")
+            df = (
+                df.join(F.broadcast(flags), on=cond, how="left")
+                .withColumn(
+                    lk.col_name,
+                    F.coalesce(F.col(lk.col_name), F.lit(False))
+                    & (
+                        F.col(f"{lk.col_name}_exp").isNull()
+                        | (F.col(f"{lk.col_name}_exp") > F.col(self.timestamp_col))
+                    ),
+                )
+                .withColumn(lk.col_name, F.coalesce(F.col(lk.col_name), F.lit(False)))
+                .drop(f"{lk.col_name}_eid", f"{lk.col_name}_exp")
+            )
+        return df
 
     def output_columns(self, include_internal: bool = True) -> list[Column]:
         cols: list[Column] = []
@@ -259,11 +320,14 @@ class CompiledRuleset:
         df: DataFrame,
         passthrough: Optional[list[str]] = None,
         include_internal: bool = True,
+        label_state: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Evaluate the whole ruleset for every row of ``df`` in one
         vectorized ``select`` — the Catalyst analogue of the reference's
-        per-event executor loop (executor.py:302-435)."""
+        per-event executor loop (executor.py:302-435). ``label_state``
+        feeds any HasLabel sites (broadcast joins, resolved first)."""
         pt = passthrough if passthrough is not None else df.columns
+        df = self.resolve_label_lookups(df, label_state)
         cols = [F.col(c) for c in pt]
         cols.extend(self.output_columns(include_internal=include_internal))
         return df.select(*cols)
@@ -350,6 +414,7 @@ class RulesetCompiler:
             rules=ctx.rules,
             action_id_col=ctx.action_id_col,
             timestamp_col=ctx.timestamp_col,
+            label_lookups=ctx.label_lookups,
         )
 
     # -- statement walk ------------------------------------------------------
@@ -567,17 +632,19 @@ class RulesetCompiler:
             cv = self.compile_expr(g.Name(span=node.span, identifier=m.group(1)))
             col = cv.col
             if cv.typ.base == "bool":
-                col = F.when(col, F.lit("True")).otherwise(F.lit("False"))
+                col = F.when(col, F.lit("True")).when(~col, F.lit("False"))
             else:
                 col = col.cast("string")
-            parts.append(col)
+            # Python str(None) == 'None'. (Divergence: a *failed* name also
+            # renders 'None' here, where the reference poisons the f-string —
+            # nulls are indistinguishable from failures in the columnar model.)
+            parts.append(F.coalesce(col, F.lit("None")))
             idx = m.end()
         tail = fmt[idx:].replace("{{", "{").replace("}}", "}")
         if tail:
             parts.append(F.lit(tail))
         if not parts:
             return CV(F.lit(""), st.STR, const="")
-        # concat propagates null if any interpolated name is null/failed
         return CV(F.concat(*parts), st.STR)
 
     def _compile_binop(self, node: g.BinaryOp) -> CV:
@@ -592,9 +659,11 @@ class RulesetCompiler:
             return CV(F.repeat(s.col, n.col.cast("int")), st.STR)
         if op in ("<<", ">>", "|", "&", "^"):
             lc, rc = l.col.cast("long"), r.col.cast("long")
+            # F.shiftleft/right take a literal int; the SQL functions accept
+            # a column shift amount
             out = {
-                "<<": F.shiftleft(lc, rc.cast("int")),
-                ">>": F.shiftright(lc, rc.cast("int")),
+                "<<": F.call_function("shiftleft", lc, rc.cast("int")),
+                ">>": F.call_function("shiftright", lc, rc.cast("int")),
                 "|": lc.bitwiseOR(rc),
                 "&": lc.bitwiseAND(rc),
                 "^": lc.bitwiseXOR(rc),

@@ -239,6 +239,43 @@ def _ban_user(comp, call, args):
     return CV(None, st.EFFECT, effect=EffectSpec(kind="custom", feature_name="ban_user", value_col=value))
 
 
+def _has_label(comp, call, args):
+    """HasLabel (stdlib/udfs/labels.py:159-311): reads per-entity label
+    state. Compiles to a hidden boolean column resolved by a broadcast
+    join against the label-state table in ``CompiledRuleset.apply``
+    (state as-of the previous batch — reads never see same-batch writes,
+    matching output_sink.py:186-211 ordering). Expired labels are absent."""
+    from osprey_spark.sml.compiler import LabelLookup
+
+    ctx = comp.ctx
+    entity = _arg(comp, call, "entity")
+    if entity.typ.base != "entity" or entity.entity_type is None:
+        raise SmlError("`entity` of `HasLabel` must be an Entity", call.span)
+    label = _const(comp, call, "label")
+    status = _const(comp, call, "status", "added")
+    manual = _const(comp, call, "manual", None)
+    col_name = f"__haslabel_{len(ctx.label_lookups)}"
+    ctx.label_lookups.append(
+        LabelLookup(
+            col_name=col_name,
+            entity_type=entity.entity_type,
+            entity_id_col=entity.col,
+            label=label,
+            status=status,
+            manual=manual,
+        )
+    )
+    return CV(ctx.gated(F.col(col_name)), st.BOOL)
+
+
+def _mx_lookup(comp, call, args):
+    """MXLookup (stdlib/udfs/mx_lookup.py:15-31) does live DNS — external
+    IO is out of scope for a batch/stream engine (SURVEY §2.C). Stubbed:
+    null column (expected failure), clearly marked."""
+    _arg(comp, call, "domain", None)
+    return CV(F.lit(None).cast("string"), st.STR)
+
+
 def _resolve_optional(comp, call, args):
     value = _arg(comp, call, "value")
     default = _arg(comp, call, "default")
@@ -543,6 +580,8 @@ def default_registry():
         "LabelAdd": _label_mutation("label_add"),
         "LabelRemove": _label_mutation("label_remove"),
         "BanUser": _ban_user,
+        "HasLabel": _has_label,
+        "MXLookup": _mx_lookup,
         "ResolveOptional": _resolve_optional,
         "ListLength": _list_length,
         "ListRead": _list_read,

@@ -49,6 +49,8 @@ class RuleStreamPipeline:
         track_verdict_state: bool = False,
         key_col: str = "conv_id",
         salt_buckets: int = 0,
+        extra_sinks: Optional[list[Callable[[DataFrame, int], None]]] = None,
+        console: bool = False,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -58,6 +60,8 @@ class RuleStreamPipeline:
         self.post_plan = post_plan
         self.sample_rates = sample_rates
         self.track_verdict_state = track_verdict_state
+        self.extra_sinks = extra_sinks or []
+        self.console = console
         self.key_col = key_col
         self.salt_buckets = salt_buckets
         self.sink = IdempotentParquetSink(os.path.join(workdir, "results"))
@@ -185,7 +189,8 @@ class RuleStreamPipeline:
         if self.sink.is_committed(batch_id):
             return  # replayed batch → exactly-once skip
         batch_df = self._salted(self._sample(batch_df))
-        out = self.plan.apply(batch_df, passthrough=self.passthrough)
+        label_state = self.labels.read(self.spark) if self.plan.label_lookups else None
+        out = self.plan.apply(batch_df, passthrough=self.passthrough, label_state=label_state)
         if self.track_verdict_state:
             # stream-state join: each turn sees verdicts accumulated in
             # PRIOR batches only (reads-before-writes ordering, matching
@@ -203,6 +208,18 @@ class RuleStreamPipeline:
         mutations = self.plan.label_mutation_rows(batch_df)
         if mutations.limit(1).count() > 0:
             self.labels.apply_mutations(mutations, batch_id=batch_id)
+        # tee to additional sinks (the MultiOutputSink analog,
+        # worker/sinks/sink/output_sink.py:54-120); each sink is isolated —
+        # one failing does not poison the committed result
+        if self.console:
+            out.show(20, truncate=40)
+        for sink_fn in self.extra_sinks:
+            try:
+                sink_fn(out, batch_id)
+            except Exception:  # noqa: BLE001 — per-sink failure isolation
+                import logging
+
+                logging.getLogger(__name__).exception("extra sink failed (batch %s)", batch_id)
 
     # -- stream wiring -------------------------------------------------------
 

@@ -73,3 +73,33 @@ Mod = A % B
 
 def test_none_calculus_truth_tables(spark):
     run_parity(spark, SOURCES, _rows(), SCHEMA, check_error_count=False)
+
+
+SOURCES_EXT = {
+    "main.sml": """
+A: Optional[int] = JsonData(path='$.a', required=False)
+B: Optional[int] = JsonData(path='$.b', required=False)
+S: Optional[str] = JsonData(path='$.s', required=False)
+
+Pow = A ** B
+Shl = A << B
+Shr = A >> B
+BOr = A | B
+BAnd = A & B
+BXor = A ^ B
+Neg = -A
+StrCat = S + S
+StrMul = S * B
+Fmt = f'v={A} s={S}!'
+NotInStr = S not in 'hello world'
+"""
+}
+
+
+def test_extended_expressions(spark):
+    rows = [
+        dict(__row_id=0, action_name="e", ts=TS, a=2, b=5, s="ab", t=None),
+        dict(__row_id=1, action_name="e", ts=TS, a=7, b=1, s="hello", t=None),
+        dict(__row_id=2, action_name="e", ts=TS, a=None, b=3, s=None, t=None),
+    ]
+    run_parity(spark, SOURCES_EXT, rows, SCHEMA, check_error_count=False)

@@ -286,3 +286,57 @@ def test_cep_state_fn_out_of_order():
     # replays of already-consumed turns are ignored
     out3 = pd.concat(list(fn(("a",), iter([batch([(1, 0b010)])]), state)))
     assert out3.empty
+
+
+def test_has_label_cross_batch(spark, workdir):
+    """HasLabel reads state from PRIOR batches: a conversation flagged in
+    batch 1 makes RepeatOffender fire for its batch-2 turns."""
+    rules = {
+        "main.sml": """
+ConvId: Entity[str] = EntityJson(type='Conversation', path='$.conv_id')
+Text: str = JsonData(path='$.text')
+AlreadyFlagged = HasLabel(entity=ConvId, label='flagged')
+SaysHello = Rule(
+  when_all=[TextContains(text=Text, phrase='hello')],
+  description='says hello',
+)
+RepeatOffender = Rule(
+  when_all=[SaysHello, AlreadyFlagged],
+  description='hello from an already-flagged conversation',
+)
+WhenRules(
+  rules_any=[SaysHello],
+  then=[LabelAdd(entity=ConvId, label='flagged')],
+)
+WhenRules(
+  rules_any=[RepeatOffender],
+  then=[DeclareVerdict(verdict='escalate')],
+)
+"""
+    }
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t = datetime.datetime(2024, 1, 1)
+    input_dir = os.path.join(workdir, "hl_in")
+    spark.createDataFrame(
+        [("a", 0, "user", "hello", "", t), ("b", 0, "user", "nothing", "", t)], schema
+    ).write.parquet(input_dir)
+
+    pipe = RuleStreamPipeline(spark, rules, os.path.join(workdir, "hl_p"))
+    pipe.run_until_idle(input_dir)
+    r1 = {r["conv_id"]: r for r in pipe.results().collect()}
+    assert r1["a"]["AlreadyFlagged"] is False  # no prior state in batch 1
+    assert r1["a"]["__verdicts"] == []
+
+    spark.createDataFrame(
+        [("a", 1, "user", "hello again", "", t.replace(minute=5)),
+         ("b", 1, "user", "hello first", "", t.replace(minute=5))], schema
+    ).write.mode("append").parquet(input_dir)
+    pipe2 = RuleStreamPipeline(spark, rules, os.path.join(workdir, "hl_p"))
+    pipe2.run_until_idle(input_dir)
+    r2 = {(r["conv_id"], r["turn_idx"]): r for r in pipe2.results().collect()}
+    assert r2[("a", 1)]["AlreadyFlagged"] is True
+    assert r2[("a", 1)]["RepeatOffender"] is True
+    assert r2[("a", 1)]["__verdicts"] == ["escalate"]
+    # b says hello for the first time in batch 2 → not yet flagged when read
+    assert r2[("b", 1)]["AlreadyFlagged"] is False
+    assert r2[("b", 1)]["__verdicts"] == []
