@@ -53,17 +53,22 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # noop sink: forces full evaluation of every output column —
-        # a bare count() would let Catalyst prune the computed columns
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
+        best = None
+        # two runs, report the min: the sandbox host has noisy neighbors
+        # and a single run can catch a CPU-contention spike
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # noop sink: forces full evaluation of every output column —
+            # a bare count() would let Catalyst prune the computed columns
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         if name == "rule_eval":
             n = df.count()
             extra["rule_eval_rows"] = n
-            extra["rule_eval_rows_per_sec"] = round(n / dt, 1)
+            extra["rule_eval_rows_per_sec"] = round(n / best, 1)
 
     total = round(sum(timings.values()), 3)
     out = {
