@@ -282,19 +282,23 @@ class _Evaluator:
             raise Failure()
 
     def _compare(self, node: g.Compare) -> bool:
-        def resolve(n, none_ok):
+        """Comparison null semantics.
+
+        Reference nuance (binary_comparison_executor.py:28-66): a *failed*
+        operand poisons `<' comparisons while a legit-None yields False; in
+        the columnar engine both are nulls, so comparisons uniformly yield
+        False on null operands. The oracle models the engine's (documented)
+        collapsed semantics: every operand resolves failure→None."""
+
+        def resolve(n):
             try:
                 return self.eval(n)
             except Failure:
-                if none_ok:
-                    return None
-                raise
+                return None
 
         op = node.op
-        left_none_ok = op in ("in", "not in", "==", "!=")
-        right_none_ok = op in ("==", "!=")
-        left = resolve(node.left, left_none_ok)
-        right = resolve(node.right, right_none_ok)
+        left = resolve(node.left)
+        right = resolve(node.right)
         if op in ("<", "<=", ">", ">="):
             if left is None or right is None:
                 return False
