@@ -540,6 +540,18 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+def _ivf_topk(spark, sf_dir):
+    from osprey_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(emb, q, k=20, n_clusters=8, n_probe=3).select(
+        "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
+    )
+
+
 def _near_dup_vectors(spark, sf_dir):
     from osprey_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -584,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _lang_id,
         "sim_cosine_topk": _cosine_topk,
         "sim_knn_join": _knn,
+        "sim_ivf_topk": _ivf_topk,
         "sim_near_dup_lsh": _near_dup_vectors,
     }
 

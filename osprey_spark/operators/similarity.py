@@ -175,3 +175,68 @@ def lsh_topk(
     bucket = hyperplane_bucket(F.col(emb_col), num_hyperplanes, seed, dim)
     pruned = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isin(list(probe_buckets)))
     return cosine_topk(pruned, query, k=k, emb_col=emb_col, id_col=id_col)
+
+
+def kmeans_lite(
+    df: DataFrame,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    sample_rows: int = 2000,
+    iters: int = 3,
+    seed: int = 42,
+):
+    """Deterministic driver-side k-means on a bounded sample → centroid
+    matrix (numpy). Centroids are tiny (C×d) — the classic IVF recipe:
+    train small, assign distributed."""
+    sample = [r[0] for r in df.select(emb_col).limit(sample_rows).collect()]
+    X = np.asarray(sample, dtype="float64")
+    rng = np.random.default_rng(seed)
+    centroids = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign_udf(centroids):
+    """Arrow-batched nearest-centroid assignment (one matmul per batch)."""
+    C = np.asarray(centroids, dtype="float64")
+    Cn = (C**2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy()).astype("float64")
+        d2 = Cn[None, :] - 2.0 * (M @ C.T)  # + |m|^2 constant per row — argmin invariant
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    query,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids=None,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: train/assign inverted lists by nearest
+    centroid, probe the query's ``n_probe`` closest lists, exact re-rank
+    inside. On a partitioned/bucketed table the list id is a partition
+    column and probing is partition pruning."""
+    if centroids is None:
+        centroids = kmeans_lite(df, n_clusters=n_clusters, emb_col=emb_col, seed=seed)
+    C = np.asarray(centroids, dtype="float64")
+    q = np.asarray(query, dtype="float64")
+    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d2.argsort()[:n_probe]]
+    assigned = df.withColumn("_list", ivf_assign_udf(C)(F.col(emb_col)))
+    pruned = assigned.filter(F.col("_list").isin(probe))
+    return cosine_topk(pruned, query, k=k, emb_col=emb_col, id_col=id_col)

@@ -178,3 +178,56 @@ def test_multimodal_plumbing(spark):
     # deterministic: same input → same features
     again = extract_media_features(synthetic_media(spark, n=30)).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_topk(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # two well-separated clusters + the query near cluster 0
+    base = np.concatenate([rng.normal(0, 0.1, (50, 8)) + 1.0, rng.normal(0, 0.1, (50, 8)) - 1.0])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [1.0] * 8
+    from osprey_spark.operators.similarity import cosine_topk, ivf_topk
+
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_clusters=4, n_probe=2).collect()]
+    assert approx == exact  # clusters are well separated → IVF recall 100%
+
+
+def test_action_wire_format(spark, tmp_path):
+    import json as js
+
+    lines = [
+        js.dumps({"send_time": "2025-08-25T14:30:45.123Z",
+                  "data": js.dumps({"action_id": 1, "action_name": "create_post",
+                                     "data": {"user_id": "u1", "post": {"text": "hello world"}}})}),
+        js.dumps({"send_time": "2025-08-25T14:31:00Z",
+                  "data": js.dumps({"action_name": "other", "data": {"user_id": "u2"}})}),
+    ]
+    p = tmp_path / "actions.jsonl"
+    p.write_text("\n".join(lines))
+    from osprey_spark.sources.actions import read_action_jsonl
+
+    df = read_action_jsonl(spark, str(p))
+    rows = {r["action_name"]: r for r in df.collect()}
+    assert rows["create_post"]["action_id"] == 1
+    assert rows["create_post"]["ts"] is not None
+    assert rows["other"]["action_id"] is not None  # generated fallback
+
+    # the raw payload column feeds JsonData via get_json_object
+    from osprey_spark.sml.compiler import RulesetCompiler
+
+    src = {"main.sml": """
+UserId: Entity[str] = EntityJson(type='User', path='$.user_id')
+Text: Optional[str] = JsonData(path='$.post.text', required=False)
+HasHello = Rule(when_all=[TextContains(text=Text, phrase='hello')], description='d')
+"""}
+    plan = RulesetCompiler(
+        src, input_schema=df.schema, action_name_col="action_name",
+        action_id_col="action_id", data_json_col="data",
+    ).compile()
+    out = {r["UserId"]: r for r in plan.apply(df).collect()}
+    assert out["u1"]["HasHello"] is True
+    assert out["u2"]["HasHello"] is None  # Text failed → rule poisoned
