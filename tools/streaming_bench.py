@@ -1,0 +1,115 @@
+"""End-to-end Structured-Streaming throughput at two parallelism levels.
+
+Unlike tools/scaling_bench.py (pure rule-plan compute), this drives the
+whole pipeline: parquet micro-batches → compiled rule plan → exactly-once
+sink writes + label-state MERGEs, i.e. the BASELINE metric "sustained
+turns/sec" as the stream actually runs. Fresh JVM + fresh workdir per
+level; the same input at N and 4N cores.
+
+Usage: python tools/streaming_bench.py [n_small] [n_large] [n_convs]
+Appends to BENCH.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INPUT_BASE = os.environ.get("SCALING_INPUT_DIR", "/tmp/osprey_scaling_transcripts")
+
+from scaling_bench import RULES, _GEN  # noqa: E402  (same ruleset + generator)
+
+_WORKER = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from osprey_spark.session import get_spark
+from osprey_spark.streaming.pipeline import RuleStreamPipeline
+
+RULES = {rules!r}
+cores = int(sys.argv[1])
+
+spark = get_spark(cores=cores, app_name=f"stream_bench_{{cores}}", shuffle_partitions=cores)
+n = spark.read.parquet({input_dir!r}).count()
+wd = tempfile.mkdtemp(prefix=f"stream_bench_{{cores}}_")
+pipe = RuleStreamPipeline(spark, RULES, wd)
+t0 = time.perf_counter()
+q = (
+    spark.readStream.schema(pipe.schema)
+    .option("maxFilesPerTrigger", "16")
+    .parquet({input_dir!r})
+    .withWatermark("ts", "10 minutes")
+    .writeStream.foreachBatch(pipe.process_batch)
+    .option("checkpointLocation", pipe.checkpoint)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+dt = time.perf_counter() - t0
+batch_metrics = pipe.sink.metrics()
+out_rows = sum(m["rows"] for m in batch_metrics)
+assert out_rows == n, (out_rows, n)
+shutil.rmtree(wd, ignore_errors=True)
+print(json.dumps({{"cores": cores, "rows": n, "sec": dt, "rows_per_sec": n / dt,
+                   "batches": len(batch_metrics)}}))
+"""
+
+
+def run_level(input_dir: str, cores: int) -> dict:
+    script = _WORKER.format(repo=REPO, rules=RULES, input_dir=input_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(out.stdout[-3000:], out.stderr[-3000:])
+        raise RuntimeError(f"stream worker at {cores} cores produced no result")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 150_000
+    input_dir = f"{INPUT_BASE}_{n_convs}"
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", _GEN.format(repo=REPO, input_dir=input_dir), str(n_convs)],
+            capture_output=True, text=True, timeout=1800, check=True,
+        )
+
+    small = run_level(input_dir, n_small)
+    large = run_level(input_dir, n_large)
+    ratio = n_large / n_small
+    efficiency = (large["rows_per_sec"] / small["rows_per_sec"]) / ratio
+    summary = {
+        "mode": "structured-streaming end-to-end (rule plan + exactly-once sink + label merges)",
+        "input_rows": small["rows"],
+        "micro_batches": small["batches"],
+        f"local[{n_small}]_turns_per_sec": round(small["rows_per_sec"], 1),
+        f"local[{n_large}]_turns_per_sec": round(large["rows_per_sec"], 1),
+        "scaling_efficiency": round(efficiency, 3),
+        "meets_0.8_target": efficiency >= 0.8,
+    }
+    print(json.dumps(summary, indent=2))
+
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            "\n## Streaming end-to-end (micro-batches + exactly-once sink + label MERGEs)\n\n"
+            f"{small['batches']} micro-batches over the same {small['rows']:,}-row input\n"
+            "(availableNow trigger, maxFilesPerTrigger=16), full pipeline per batch:\n"
+            "rule plan → idempotent sink write (per-partition lineage) → label-state merge.\n\n"
+            f"| level | sustained turns/sec | wall sec |\n|---|---|---|\n"
+            f"| local[{n_small}] | {small['rows_per_sec']:,.0f} | {small['sec']:.1f} |\n"
+            f"| local[{n_large}] | {large['rows_per_sec']:,.0f} | {large['sec']:.1f} |\n\n"
+            f"- streaming scaling efficiency: **{efficiency:.3f}** "
+            f"({'MET' if efficiency >= 0.8 else 'NOT MET'} vs the 0.8 target)\n"
+        )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
