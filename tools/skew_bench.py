@@ -69,13 +69,11 @@ def main() -> None:
     print(json.dumps(summary, indent=2))
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            "\n## Skew: salted two-stage aggregation\n\n"
-            f"{n_rows:,} rows, one conversation holding 50% of all turns "
-            "(Zipf head worst case):\n\n"
-            f"| plan | wall sec |\n|---|---|\n"
-            f"| plain groupBy (one reducer owns the hot key) | {plain:.2f} |\n"
-            f"| salted two-stage (32 salt buckets) | {salted:.2f} |\n\n"
-            f"- speedup {plain / salted:.2f}x, results identical: {mismatch == 0}\n"
+            "\n## Skew microbench (appended by tools/skew_bench.py)\n\n"
+            f"| plain groupBy | {plain:.2f}s | salted two-stage | {salted:.2f}s | "
+            f"identical: {mismatch == 0} |\n\n"
+            "For algebraic aggregates map-side partial aggregation already\n"
+            "defuses the hot key; salting is for holistic/stateful paths.\n"
         )
 
 
