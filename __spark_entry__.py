@@ -148,6 +148,86 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _timeseries_by_type(spark, sf_dir):
+    from osprey_spark.plans import timeseries
+
+    return timeseries(
+        _events(spark, sf_dir), START, END, "1 day", ts_col="ts", dimension="event_type"
+    )
+
+
+_TIMESERIES_BY_TYPE_ORACLE = """
+SELECT date_trunc('day', ts) AS bucket_start, event_type, count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _escalation(spark, sf_dir):
+    from osprey_spark.operators.sessions import escalation_sessions
+
+    out = escalation_sessions(
+        _events(spark, sf_dir),
+        trigger=F.col("event_type") == "error",
+        key="user_id",
+        gap_seconds=1800,
+        ts_col="ts",
+        min_triggers=2,
+    )
+    return out.select("user_id", "session_id", "n_turns", "n_triggers", "session_start")
+
+
+_ESCALATION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_triggers,
+       min(ts) AS session_start
+FROM s GROUP BY 1, 2
+HAVING sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 2
+"""
+
+
+def _session_window_agg(spark, sf_dir):
+    from osprey_spark.operators.sessions import session_agg
+
+    out = session_agg(_events(spark, sf_dir), key="user_id", gap="30 minutes", ts_col="ts")
+    return out.select("user_id", "session_start", "session_end", "n_turns")
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_turns
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def _topn(spark, sf_dir):
     from osprey_spark.plans import topn
 
@@ -577,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_eval": _rule_eval,
         "timeseries_hourly": _timeseries,
+        "timeseries_by_type": _timeseries_by_type,
         "topn_event_types": _topn,
         "topn_pop": _topn_pop,
         "distinct_users_by_type": _distinct_users,
@@ -587,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "velocity_sliding": _sliding,
         "velocity_trailing": _trailing,
         "sessionization": _sessions,
+        "session_window_agg": _session_window_agg,
+        "escalation_sessions": _escalation,
         "cep_ordered_pattern": _cep,
         "dedup_exact": _exact_dedup,
         "dedup_ngram_jaccard": _ngram_pairs,
@@ -605,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rule_eval": _RULE_EVAL_ORACLE,
         "timeseries_hourly": _TIMESERIES_ORACLE,
+        "timeseries_by_type": _TIMESERIES_BY_TYPE_ORACLE,
         "topn_event_types": _TOPN_ORACLE,
         "topn_pop": _TOPN_POP_ORACLE,
         "distinct_users_by_type": _DISTINCT_USERS_ORACLE,
@@ -615,6 +699,8 @@ def oracle_sql() -> dict[str, str]:
         "velocity_sliding": _SLIDING_ORACLE,
         "velocity_trailing": _TRAILING_ORACLE,
         "sessionization": _SESSIONS_ORACLE,
+        "session_window_agg": _SESSION_WINDOW_ORACLE,
+        "escalation_sessions": _ESCALATION_ORACLE,
         "cep_ordered_pattern": _CEP_ORACLE,
         "dedup_exact": _EXACT_DEDUP_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_PAIRS_ORACLE,

@@ -37,17 +37,26 @@ def timeseries(
     granularity: str = "1 hour",
     query_filter: Union[str, Column, None] = None,
     ts_col: str = "__timestamp",
+    dimension: Optional[str] = None,
 ) -> DataFrame:
-    """Event count per time bucket (druid.py:148-165).
+    """Event count per time bucket (druid.py:148-165), optionally split by
+    a dimension (the console's per-entity count-aggregations variant).
 
-    Columns: ``bucket_start timestamp, n long`` ordered by bucket."""
+    Columns: ``bucket_start timestamp[, <dimension>], n long``."""
+    keys = [F.window(ts_col, granularity).alias("w")]
+    if dimension:
+        keys.append(F.col(dimension))
     out = (
         _apply_filter(df, query_filter)
         .filter((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
-        .groupBy(F.window(ts_col, granularity).alias("w"))
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("bucket_start"), "n")
-        .orderBy("bucket_start")
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            *([F.col(dimension)] if dimension else []),
+            "n",
+        )
+        .orderBy("bucket_start", *([dimension] if dimension else []))
     )
     return out
 

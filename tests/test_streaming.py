@@ -340,3 +340,17 @@ WhenRules(
     # b says hello for the first time in batch 2 → not yet flagged when read
     assert r2[("b", 1)]["AlreadyFlagged"] is False
     assert r2[("b", 1)]["__verdicts"] == []
+
+
+def test_sink_partial_write_recovery(spark, workdir):
+    """A crash after data files land but before the commit marker must
+    leave the batch invisible; the replayed write overwrites cleanly."""
+    sink = IdempotentParquetSink(os.path.join(workdir, "crash"))
+    df = spark.range(5)
+    # simulate the crash: data written, no marker
+    df.write.mode("overwrite").parquet(os.path.join(sink.data_dir, "batch=0"))
+    assert sink.read(spark) is None  # uncommitted data invisible
+    assert sink.is_committed(0) is False
+    # replayed batch writes (overwrite) and commits
+    assert sink.write_batch(spark.range(7), 0) is True
+    assert sink.read(spark).count() == 7  # the replay's data, not the orphan
