@@ -124,24 +124,29 @@ def not_(col: Column) -> Column:
 # --- arithmetic ------------------------------------------------------------
 
 def safe_div(left: Column, right: Column) -> Column:
-    """True division: always float, divisor 0 → 0, null propagates."""
+    """True division: always float, divisor 0 → 0, null propagates.
+
+    The 0-divisor shortcut fires BEFORE the numerator is inspected —
+    exactly the reference's ``_safe_truediv`` (binary_operation_executor
+    .py:49-51 checks ``right == 0`` first), so ``None / 0 == 0``."""
     return F.when(right.eqNullSafe(0), F.lit(0.0)).otherwise(
         left.cast("double") / right.cast("double")
     )
 
 
 def safe_floordiv(left: Column, right: Column, result_is_int: bool) -> Column:
-    """Python ``//``: floors toward -inf (Spark's int div truncates); 0 divisor → 0."""
-    q = F.floor(left.cast("double") / right.cast("double"))
-    q = q.cast("long") if result_is_int else q.cast("double")
+    """Python ``//``: floors toward -inf (Spark's int div truncates);
+    0 divisor → 0 (checked before the numerator, as in the reference)."""
+    t = "long" if result_is_int else "double"
+    q = F.floor(left.cast("double") / right.cast("double")).cast(t)
     zero = 0 if result_is_int else 0.0
     return F.when(right.eqNullSafe(0), F.lit(zero)).otherwise(q)
 
 
 def safe_mod(left: Column, right: Column, result_is_int: bool) -> Column:
     """Python ``%``: result takes the divisor's sign; 0 divisor → 0."""
-    m = left - F.floor(left.cast("double") / right.cast("double")) * right
-    m = m.cast("long") if result_is_int else m.cast("double")
+    t = "long" if result_is_int else "double"
+    m = (left - F.floor(left.cast("double") / right.cast("double")) * right).cast(t)
     zero = 0 if result_is_int else 0.0
     return F.when(right.eqNullSafe(0), F.lit(zero)).otherwise(m)
 

@@ -215,10 +215,11 @@ class _Evaluator:
         if isinstance(node, g.Name):
             if node.identifier not in self.env:
                 self._ensure(node.identifier)
-            if node.identifier in self.failed:
-                raise Failure()
             if node.identifier not in self.env:
                 raise Failure()
+            # collapsed semantics: a failed feature IS a None value for
+            # consumers (the columnar engine's contract — nulls are
+            # failures; self.failed only drives error accounting)
             return self.env[node.identifier]
         if isinstance(node, (g.String, g.Number, g.Boolean)):
             return node.value
@@ -258,8 +259,17 @@ class _Evaluator:
         return node.format_string.format(**vals)
 
     def _binop(self, node: g.BinaryOp) -> Any:
-        left = self.eval(node.left)
-        right = self.eval(node.right)
+        # collapse at the operator boundary: a failed operand is a None
+        # value (columnar null propagation), so e.g. failed // 0 == 0,
+        # exactly like null // 0 in the Spark plan
+        def resolve(n):
+            try:
+                return self.eval(n)
+            except Failure:
+                return None
+
+        left = resolve(node.left)
+        right = resolve(node.right)
         try:
             if node.op == "/":
                 return 0 if right == 0 else left / right
