@@ -117,8 +117,15 @@ def or_(*cols: Column) -> Column:
 
 
 def not_(col: Column) -> Column:
-    """``not x``: null operand poisons (node fails) → keep null."""
-    return ~col.cast("boolean")
+    """``not x``: a resolved-None operand → True (Python ``not None``,
+    reference unary executor on a value None).
+
+    Collapsed-failure contract: a *failed* operand is also null here, so
+    ``not <failed>`` renders True where the reference would poison —
+    consistent with how ``and``/``or`` already collapse failed operands
+    to falsey (boolean_operation_executor.py:23-32), and mirrored by the
+    row oracle (oracle.py UnaryOp)."""
+    return F.when(col.isNull(), F.lit(True)).otherwise(~col.cast("boolean"))
 
 
 # --- arithmetic ------------------------------------------------------------

@@ -242,9 +242,15 @@ class _Evaluator:
                     vals.append(None)
             return all(vals) if node.op == "and" else any(vals)
         if isinstance(node, g.UnaryOp):
-            v = self.eval(node.operand)
             if node.op == "not":
+                # collapsed-failure contract: failed operand → None → True
+                # (matches exprs.not_ and the and/or operand collapse)
+                try:
+                    v = self.eval(node.operand)
+                except Failure:
+                    v = None
                 return not v
+            v = self.eval(node.operand)
             if v is None:
                 raise Failure()
             return -v if node.op == "-" else +v
@@ -397,7 +403,13 @@ class _Evaluator:
         return self.event.get("action_id")
 
     def _udf_rule(self, call):
-        when_all = [self.eval(i) for i in call.kwargs["when_all"].items]  # type: ignore[attr-defined]
+        when_all = []
+        for i in call.kwargs["when_all"].items:  # type: ignore[attr-defined]
+            # collapsed-failure contract: failed condition → None → falsey
+            try:
+                when_all.append(self.eval(i))
+            except Failure:
+                when_all.append(None)
         desc_node = call.kwargs.get("description")
         desc = desc_node.value if isinstance(desc_node, g.String) else getattr(desc_node, "format_string", "")
         return _Rule(name="", value=all(when_all), description=desc)

@@ -610,6 +610,25 @@ class RulesetCompiler:
         if isinstance(node, g.UnaryOp):
             operand = self.compile_expr(node.operand)
             if node.op == "not":
+                # Python truthiness per operand type: '' and [] are falsey
+                # (a boolean cast would be wrong for strings / throw under
+                # ANSI); None → True (collapsed-failure contract, exprs.not_)
+                if operand.typ.base == "str":
+                    return CV(
+                        F.when(
+                            operand.col.isNull() | (F.length(operand.col) == 0),
+                            F.lit(True),
+                        ).otherwise(F.lit(False)),
+                        st.BOOL,
+                    )
+                if operand.typ.base == "list":
+                    return CV(
+                        F.when(
+                            operand.col.isNull() | (F.size(operand.col) == 0),
+                            F.lit(True),
+                        ).otherwise(F.lit(False)),
+                        st.BOOL,
+                    )
                 return CV(exprs.not_(operand.col), st.BOOL)
             if node.op == "-":
                 return CV(-operand.col, operand.typ)
@@ -621,26 +640,34 @@ class RulesetCompiler:
     def _compile_fstring(self, node: g.FormatString) -> CV:
         parts: list[Column] = []
         fmt = node.format_string
-        # split on placeholders in order
+        # tokenize respecting {{ / }} escapes: a double brace is a literal
+        # brace, never the start/end of a placeholder (str.format rules)
         import re
 
+        token = re.compile(r"\{\{|\}\}|\{([^\d\W]\w*)\}")
         idx = 0
-        for m in re.finditer(r"\{([^\d\W]\w*)\}", fmt):
-            literal = fmt[idx : m.start()].replace("{{", "{").replace("}}", "}")
+        for m in token.finditer(fmt):
+            literal = fmt[idx : m.start()]
             if literal:
                 parts.append(F.lit(literal))
-            cv = self.compile_expr(g.Name(span=node.span, identifier=m.group(1)))
-            col = cv.col
-            if cv.typ.base == "bool":
-                col = F.when(col, F.lit("True")).when(~col, F.lit("False"))
+            if m.group(0) == "{{":
+                parts.append(F.lit("{"))
+            elif m.group(0) == "}}":
+                parts.append(F.lit("}"))
             else:
-                col = col.cast("string")
-            # Python str(None) == 'None'. (Divergence: a *failed* name also
-            # renders 'None' here, where the reference poisons the f-string —
-            # nulls are indistinguishable from failures in the columnar model.)
-            parts.append(F.coalesce(col, F.lit("None")))
+                cv = self.compile_expr(g.Name(span=node.span, identifier=m.group(1)))
+                col = cv.col
+                if cv.typ.base == "bool":
+                    col = F.when(col, F.lit("True")).when(~col, F.lit("False"))
+                else:
+                    col = col.cast("string")
+                # Python str(None) == 'None'. (Divergence: a *failed* name
+                # also renders 'None' here, where the reference poisons the
+                # f-string — nulls are indistinguishable from failures in
+                # the columnar model.)
+                parts.append(F.coalesce(col, F.lit("None")))
             idx = m.end()
-        tail = fmt[idx:].replace("{{", "{").replace("}}", "}")
+        tail = fmt[idx:]
         if tail:
             parts.append(F.lit(tail))
         if not parts:

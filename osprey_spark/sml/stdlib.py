@@ -125,8 +125,9 @@ def _get_action_id(comp, call, args):
 
 
 def _rule(comp, call, args):
-    """Rule (stdlib/udfs/rules.py:25-113): value = all(when_all); a failed
-    condition fails the whole rule (→ null)."""
+    """Rule (stdlib/udfs/rules.py:25-113): value = all(when_all); a
+    None/failed condition is falsey → the rule is False (collapsed-failure
+    contract, same as ``and``)."""
     items = [comp.compile_expr(n) for n in _list_items(comp, call, "when_all")]
     desc_node = call.kwargs.get("description")
     if isinstance(desc_node, g.String):
@@ -138,12 +139,12 @@ def _rule(comp, call, args):
     if not items:
         value = F.lit(True)
     else:
-        any_null = items[0].col.isNull()
-        all_true = items[0].col.cast("boolean")
+        # collapsed-failure contract: a None/failed condition is falsey
+        # (Python all() over values where None is falsey — oracle
+        # _udf_rule), so the rule is False, never null.
+        value = F.coalesce(items[0].col.cast("boolean"), F.lit(False))
         for it in items[1:]:
-            any_null = any_null | it.col.isNull()
-            all_true = all_true & it.col.cast("boolean")
-        value = F.when(any_null, F.lit(None).cast("boolean")).otherwise(all_true)
+            value = value & F.coalesce(it.col.cast("boolean"), F.lit(False))
     info = RuleInfo(name="<unassigned>", description=description, col=comp.ctx.gated(value))
     return CV(info.col, st.RULE, rule=info)
 
@@ -400,7 +401,13 @@ def _string_replace(comp, call, args):
 def _string_join(comp, call, args):
     sep = _arg(comp, call, "s")
     iterable = _arg(comp, call, "iterable")
-    return CV(F.array_join(iterable.col, sep.const if sep.is_const else ""), st.STR)
+    if not sep.is_const:
+        raise SmlError(
+            "StringJoin separator must be a string literal "
+            "(array_join needs a literal delimiter)",
+            call.span,
+        )
+    return CV(F.array_join(iterable.col, sep.const), st.STR)
 
 
 def _string_split(comp, call, args):

@@ -97,4 +97,6 @@ def test_demo_ruleset_parity(spark):
     assert results[2]["ContainsHello"] is True  # case-insensitive
     assert results[3]["ContainsHello"] is False  # \b boundary
     assert results[4]["ContainsHello"] is None  # file not required for this action
-    assert results[5]["ContainsHello"] is None  # failed dependency poisons rule
+    # failed dependency → None condition → falsey → rule is False
+    # (collapsed-failure contract; the require_if gate above still nulls)
+    assert results[5]["ContainsHello"] is False

@@ -56,6 +56,8 @@ def _bool_expr(rng: random.Random, depth: int) -> str:
         return f"({_str_expr(rng, depth - 1)} in {_str_expr(rng, depth - 1)})"
     if depth <= 0:
         return "(A == B)"
+    if kind < 0.85:
+        return f"(not {_bool_expr(rng, depth - 1)})"
     op = rng.choice(["and", "or"])
     return f"({_bool_expr(rng, depth - 1)} {op} {_bool_expr(rng, depth - 1)})"
 

@@ -103,3 +103,48 @@ def test_extended_expressions(spark):
         dict(__row_id=2, action_name="e", ts=TS, a=None, b=3, s=None, t=None),
     ]
     run_parity(spark, SOURCES_EXT, rows, SCHEMA, check_error_count=False)
+
+
+SOURCES_NULL_COLLAPSE = {
+    "main.sml": """
+A: Optional[int] = JsonData(path='$.a', required=False)
+S: Optional[str] = JsonData(path='$.s', required=False)
+
+MaybeBool = TextContains(text=S, phrase='hello')
+NotMaybe = not MaybeBool
+NotFailedExpr = not (A + 1)
+NotStr = not S
+NotInt = not A
+Doubled = f'lit {{A}} and {A}!'
+OnlyBraces = f'{{x}} {{y}}'
+
+RuleNullCond = Rule(when_all=[MaybeBool], description='null cond is falsey')
+RuleMixed = Rule(when_all=[MaybeBool, A == A], description='null and true')
+WhenRules(rules_any=[RuleNullCond], then=[DeclareVerdict(verdict='V1')])
+"""
+}
+
+
+def test_null_collapse_not_and_rule(spark):
+    """Collapsed-failure contract: a resolved/failed None under ``not`` is
+    True (Python ``not None``), and a None when_all condition makes the
+    Rule False — never null — so its verdict simply does not fire
+    (ADVICE r1: exprs.not_ vs oracle divergence). Also covers {{...}}
+    escapes in f-strings compiling to literal braces."""
+    rows = [
+        dict(__row_id=0, action_name="e", ts=TS, a=2, b=1, s="say hello", t=None),
+        dict(__row_id=1, action_name="e", ts=TS, a=None, b=1, s=None, t=None),
+        dict(__row_id=2, action_name="e", ts=TS, a=0, b=1, s="", t=None),
+    ]
+    got = run_parity(spark, SOURCES_NULL_COLLAPSE, rows, SCHEMA, check_error_count=False)
+    by_id = {r["__row_id"]: r for r in got}
+    # row 1: S is None → MaybeBool null → not → True; rule False (not null)
+    assert by_id[1]["NotMaybe"] is True
+    assert by_id[1]["RuleNullCond"] is False
+    assert by_id[1]["RuleMixed"] is False
+    assert by_id[1]["__verdicts"] == []
+    assert by_id[0]["RuleNullCond"] is True
+    assert by_id[0]["__verdicts"] == ["V1"]
+    # literal-brace escapes render as literal braces, not placeholders
+    assert by_id[0]["Doubled"] == "lit {A} and 2!"
+    assert by_id[0]["OnlyBraces"] == "{x} {y}"
