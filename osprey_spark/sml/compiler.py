@@ -54,6 +54,7 @@ class EffectSpec:
     entity_id_col: Optional[Column] = None
     label: Optional[str] = None
     expires_after: Optional[float] = None
+    delay_action_by: Optional[float] = None
     has_apply_if: bool = False
     apply_if_col: Optional[Column] = None
     # custom effects (plugin surface, e.g. the reference's example BanUser):
@@ -102,6 +103,11 @@ class LabelEntry:
     label: str
     status_name: str  # ADDED | REMOVED
     expires_after: Optional[float]
+    # delay_action_by (reference stdlib/udfs/labels.py:46-47): recorded as
+    # apply_at = event_ts + delay on the mutation row; state application is
+    # immediate (the reference's LabelOutputSink also applies immediately —
+    # the delay is carried for external consumers)
+    delay_action_by: Optional[float] = None
 
 
 @dataclass
@@ -124,6 +130,13 @@ class LabelLookup:
     label: str
     status: str  # 'added' | 'removed'
     manual: Optional[bool]  # True=manual-only, False=auto-only, None=either
+    # min_label_age (labels.py:133-134): label must have been added more
+    # than this many seconds before the event to count
+    min_label_age: Optional[float] = None
+    # error_on_empty (labels.py:135-145): fail closed when the entity has
+    # NO labels at all (labels-service-integrity guard) — the lookup
+    # fails (null) and __error_count increments
+    error_on_empty: bool = False
 
 
 @dataclass
@@ -219,47 +232,102 @@ class CompiledRuleset:
     label_lookups: list[LabelLookup] = None  # type: ignore[assignment]
 
     def resolve_label_lookups(
-        self, df: DataFrame, label_state: Optional[DataFrame]
+        self,
+        df: DataFrame,
+        label_state: Optional[DataFrame],
+        force_broadcast: bool = True,
     ) -> DataFrame:
-        """Attach one boolean column per HasLabel site via broadcast left
-        joins against the label-state table (entity equality + expiry
-        as-of the event's own timestamp). With no state table, every
-        lookup is False — the reference's empty-labels default."""
+        """Attach one boolean column per HasLabel site via left joins
+        against the label-state table, with the reference's full
+        semantics (stdlib/udfs/labels.py:211-255):
+
+        - expired label (all reasons expired) → treated as absent
+        - ABSENT label: True iff the site checks ``status='removed'`` and
+          ``manual`` is not True (an unlabeled entity IS 'removed')
+        - present: stored status maps to (simple status, manual) and must
+          match the site's desired status/manual
+        - ``min_label_age``: the label's oldest non-expired ``created_at``
+          must be more than the age before the event's own timestamp
+        - ``error_on_empty``: an entity with NO label rows at all fails
+          the lookup (null result + __error_count), fail-closed
+
+        ``force_broadcast=False`` drops the broadcast hint and lets AQE
+        pick the join strategy from runtime sizes — required when the
+        state snapshot may exceed the driver's broadcast capacity.
+        Already-resolved columns are left untouched, so composing
+        ``resolve_label_lookups`` + ``apply`` never double-joins."""
+        maybe_bcast = F.broadcast if force_broadcast else (lambda x: x)
         for lk in self.label_lookups or []:
+            if lk.col_name in df.columns:
+                continue  # already resolved upstream
+            err_col = f"{lk.col_name}__err"
             if label_state is None:
-                df = df.withColumn(lk.col_name, F.lit(False))
+                absent = lk.status == "removed" and lk.manual is not True
+                df = df.withColumn(lk.col_name, F.lit(absent))
+                if lk.error_on_empty:
+                    # fail-closed: no labels service data at all
+                    df = df.withColumn(err_col, F.lit(True)).withColumn(
+                        lk.col_name, F.lit(None).cast("boolean")
+                    )
                 continue
-            want = [1, 3] if lk.status == "added" else [0, 2]
+
+            sfx = lk.col_name
+            rows = label_state.filter(
+                (F.col("entity_type") == lk.entity_type)
+                & (F.col("label_name") == lk.label)
+            ).select(
+                F.col("entity_id").alias(f"{sfx}_eid"),
+                F.col("status").alias(f"{sfx}_st"),
+                F.col("created_at").alias(f"{sfx}_cr"),
+                F.col("expires_ts").alias(f"{sfx}_exp"),
+            )
+            cond = lk.entity_id_col.cast("string") == F.col(f"{sfx}_eid")
+            df = df.join(maybe_bcast(rows), on=cond, how="left")
+
+            ts = F.col(self.timestamp_col)
+            expired = F.col(f"{sfx}_exp").isNotNull() & (F.col(f"{sfx}_exp") <= ts)
+            present = F.col(f"{sfx}_st").isNotNull() & ~expired
+            st_col = F.col(f"{sfx}_st")
+            actual_added = st_col.isin(1, 3)
+            actual_manual = st_col.isin(2, 3)
+            match = actual_added if lk.status == "added" else ~actual_added
             if lk.manual is True:
-                want = [s for s in want if s >= 2]
+                match = match & actual_manual
             elif lk.manual is False:
-                want = [s for s in want if s < 2]
-            flags = (
-                label_state.filter(
-                    (F.col("entity_type") == lk.entity_type)
-                    & (F.col("label_name") == lk.label)
-                    & F.col("status").isin(want)
+                match = match & ~actual_manual
+            if lk.min_label_age is not None:
+                match = match & (
+                    (ts.cast("double") - F.col(f"{sfx}_cr").cast("double"))
+                    > F.lit(float(lk.min_label_age))
                 )
-                .select(
-                    F.col("entity_id").alias(f"{lk.col_name}_eid"),
-                    F.col("expires_ts").alias(f"{lk.col_name}_exp"),
-                    F.lit(True).alias(lk.col_name),
+            absent_value = F.lit(lk.status == "removed" and lk.manual is not True)
+            result = F.when(present, match).otherwise(absent_value)
+
+            if lk.error_on_empty:
+                # does the entity hold ANY label of this entity_type?
+                any_rows = (
+                    label_state.filter(F.col("entity_type") == lk.entity_type)
+                    .select(F.col("entity_id").alias(f"{sfx}_any_eid"))
+                    .distinct()
+                    .withColumn(f"{sfx}_any", F.lit(True))
                 )
-            )
-            cond = lk.entity_id_col.cast("string") == F.col(f"{lk.col_name}_eid")
-            df = (
-                df.join(F.broadcast(flags), on=cond, how="left")
-                .withColumn(
-                    lk.col_name,
-                    F.coalesce(F.col(lk.col_name), F.lit(False))
-                    & (
-                        F.col(f"{lk.col_name}_exp").isNull()
-                        | (F.col(f"{lk.col_name}_exp") > F.col(self.timestamp_col))
-                    ),
+                df = df.join(
+                    maybe_bcast(any_rows),
+                    on=[lk.entity_id_col.cast("string") == F.col(f"{sfx}_any_eid")],
+                    how="left",
                 )
-                .withColumn(lk.col_name, F.coalesce(F.col(lk.col_name), F.lit(False)))
-                .drop(f"{lk.col_name}_eid", f"{lk.col_name}_exp")
-            )
+                empty = F.col(f"{sfx}_any").isNull()
+                df = (
+                    df.withColumn(err_col, empty)
+                    .withColumn(
+                        lk.col_name,
+                        F.when(empty, F.lit(None).cast("boolean")).otherwise(result),
+                    )
+                    .drop(f"{sfx}_any_eid", f"{sfx}_any")
+                )
+            else:
+                df = df.withColumn(lk.col_name, result)
+            df = df.drop(f"{sfx}_eid", f"{sfx}_st", f"{sfx}_cr", f"{sfx}_exp")
         return df
 
     def output_columns(self, include_internal: bool = True) -> list[Column]:
@@ -315,37 +383,40 @@ class CompiledRuleset:
         )
         return F.filter(arr, lambda x: x.isNotNull())
 
+    MUTATION_STRUCTS_COL = "__label_mutation_structs"
+
     def apply(
         self,
         df: DataFrame,
         passthrough: Optional[list[str]] = None,
         include_internal: bool = True,
         label_state: Optional[DataFrame] = None,
+        include_mutation_structs: bool = False,
+        force_broadcast: bool = True,
     ) -> DataFrame:
         """Evaluate the whole ruleset for every row of ``df`` in one
         vectorized ``select`` — the Catalyst analogue of the reference's
         per-event executor loop (executor.py:302-435). ``label_state``
-        feeds any HasLabel sites (broadcast joins, resolved first)."""
+        feeds any HasLabel sites (joins, resolved first; already-resolved
+        frames pass through untouched).
+
+        ``include_mutation_structs=True`` adds the applied-label-mutation
+        struct array so the streaming pipeline can derive mutation rows
+        from the SAME evaluated (persisted) frame instead of re-running
+        the plan."""
         pt = passthrough if passthrough is not None else df.columns
-        df = self.resolve_label_lookups(df, label_state)
+        df = self.resolve_label_lookups(df, label_state, force_broadcast=force_broadcast)
         cols = [F.col(c) for c in pt]
         cols.extend(self.output_columns(include_internal=include_internal))
+        if include_mutation_structs:
+            cols.append(self.label_mutation_structs_col().alias(self.MUTATION_STRUCTS_COL))
         return df.select(*cols)
 
-    def label_mutation_rows(self, df: DataFrame, extra_cols: Optional[list[str]] = None) -> DataFrame:
-        """Structured label mutations (one row per applied mutation) for the
-        label-state sink: entity_type, entity_id, label_name, status, expires_ts.
-
-        Status encoding follows worker/lib/osprey_shared/labels.py:41-57
-        (REMOVED=0, ADDED=1)."""
-        extra = extra_cols or []
-        if not self.labels:
-            schema = ", ".join(
-                [*(f"{c} string" for c in extra),
-                 "entity_type string, entity_id string, label_name string",
-                 "status int, event_ts timestamp, expires_ts timestamp"]
-            )
-            return df.sparkSession.createDataFrame([], schema)
+    def label_mutation_structs_col(self) -> Column:
+        """Array of applied-mutation structs for this row (empty when no
+        mutation applies). Status encoding follows
+        worker/lib/osprey_shared/labels.py:41-57 (REMOVED=0, ADDED=1);
+        ``apply_at`` carries delay_action_by (labels.py:46-47)."""
         structs = []
         for e in self.labels:
             status = 1 if e.status_name == "ADDED" else 0
@@ -353,6 +424,11 @@ class CompiledRuleset:
                 F.col(self.timestamp_col) + F.make_dt_interval(secs=F.lit(float(e.expires_after)))
                 if e.expires_after is not None
                 else F.lit(None).cast("timestamp")
+            )
+            apply_at = (
+                F.col(self.timestamp_col) + F.make_dt_interval(secs=F.lit(float(e.delay_action_by)))
+                if e.delay_action_by is not None
+                else F.col(self.timestamp_col)
             )
             structs.append(
                 F.when(
@@ -364,10 +440,41 @@ class CompiledRuleset:
                         F.lit(status).alias("status"),
                         F.col(self.timestamp_col).alias("event_ts"),
                         expires.alias("expires_ts"),
+                        apply_at.alias("apply_at"),
                     ),
                 )
             )
-        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        if not structs:
+            return F.array().cast(
+                "array<struct<entity_type:string,entity_id:string,label_name:string,"
+                "status:int,event_ts:timestamp,expires_ts:timestamp,apply_at:timestamp>>"
+            )
+        return F.filter(F.array(*structs), lambda x: x.isNotNull())
+
+    def label_mutation_rows(self, df: DataFrame, extra_cols: Optional[list[str]] = None) -> DataFrame:
+        """Structured label mutations (one row per applied mutation) for the
+        label-state sink: entity_type, entity_id, label_name, status,
+        event_ts, expires_ts, apply_at.
+
+        When ``df`` already carries ``__label_mutation_structs`` (a frame
+        produced by ``apply(include_mutation_structs=True)``, typically
+        persisted by the streaming pipeline), the rows are a cheap explode
+        of that column — no re-evaluation and no re-resolution of HasLabel
+        joins. Otherwise the frame must be the raw input; lookups are
+        resolved here first (an applied condition may depend on HasLabel)."""
+        extra = extra_cols or []
+        if not self.labels:
+            schema = ", ".join(
+                [*(f"{c} string" for c in extra),
+                 "entity_type string, entity_id string, label_name string",
+                 "status int, event_ts timestamp, expires_ts timestamp, apply_at timestamp"]
+            )
+            return df.sparkSession.createDataFrame([], schema)
+        if self.MUTATION_STRUCTS_COL in df.columns:
+            arr = F.col(self.MUTATION_STRUCTS_COL)
+        else:
+            df = self.resolve_label_lookups(df, None)
+            arr = self.label_mutation_structs_col()
         out = df.select(*extra, F.explode(arr).alias("m"))
         return out.select(*extra, "m.*")
 

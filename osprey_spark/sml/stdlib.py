@@ -182,6 +182,7 @@ def _when_rules(comp, call, args):
                     label=spec.label,
                     status_name="ADDED" if spec.kind == "label_add" else "REMOVED",
                     expires_after=spec.expires_after,
+                    delay_action_by=spec.delay_action_by,
                 )
             )
         elif spec.kind == "custom":
@@ -214,6 +215,12 @@ def _label_mutation(kind: str):
             if not expires.is_const:
                 raise SmlError("expires_after must be a TimeDelta literal", call.span)
             expires_secs = float(expires.const)
+        delay = _arg(comp, call, "delay_action_by", None)
+        delay_secs = None
+        if delay is not None:
+            if not delay.is_const:
+                raise SmlError("delay_action_by must be a TimeDelta literal", call.span)
+            delay_secs = float(delay.const)
         return CV(
             None,
             st.EFFECT,
@@ -223,6 +230,7 @@ def _label_mutation(kind: str):
                 entity_id_col=entity.col,
                 label=label,
                 expires_after=expires_secs,
+                delay_action_by=delay_secs,
                 has_apply_if=apply_if is not None,
                 apply_if_col=apply_if.col if apply_if is not None else None,
             ),
@@ -254,7 +262,21 @@ def _has_label(comp, call, args):
         raise SmlError("`entity` of `HasLabel` must be an Entity", call.span)
     label = _const(comp, call, "label")
     status = _const(comp, call, "status", "added")
+    if status not in ("added", "removed"):
+        raise SmlError(
+            f"unknown label status: expected `added` or `removed`, got `{status}`"
+            + ("\nto specify a manually set label, set `manual=True`"
+               if status.upper() in ("MANUALLY_ADDED", "MANUALLY_REMOVED") else ""),
+            call.span,
+        )
     manual = _const(comp, call, "manual", None)
+    min_age = _arg(comp, call, "min_label_age", None)
+    min_age_secs = None
+    if min_age is not None:
+        if not min_age.is_const:
+            raise SmlError("min_label_age must be a TimeDelta literal", call.span)
+        min_age_secs = float(min_age.const)
+    error_on_empty = bool(_const(comp, call, "error_on_empty", False))
     col_name = f"__haslabel_{len(ctx.label_lookups)}"
     ctx.label_lookups.append(
         LabelLookup(
@@ -264,8 +286,13 @@ def _has_label(comp, call, args):
             label=label,
             status=status,
             manual=manual,
+            min_label_age=min_age_secs,
+            error_on_empty=error_on_empty,
         )
     )
+    if error_on_empty:
+        # fail-closed (EmptyEntityError): counted as an execution failure
+        ctx.add_error_indicator(F.coalesce(F.col(f"{col_name}__err"), F.lit(False)))
     return CV(ctx.gated(F.col(col_name)), st.BOOL)
 
 

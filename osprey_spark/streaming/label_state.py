@@ -1,5 +1,5 @@
 """Entity label state — the reference's labels service re-expressed as a
-versioned state table with MERGE semantics.
+hash-partitioned incremental MERGE table.
 
 Conflict rules (worker/lib/osprey_shared/labels.py:28-95,
 worker/lib/storage/labels.py):
@@ -11,97 +11,110 @@ worker/lib/storage/labels.py):
   mutation (CANNOT_OVERRIDE_MANUAL)
 - expiry: a label whose ``expires_ts`` has passed is absent
 - empty label names / entity ids are invalid mutations
+- ``delay_action_by`` (stdlib/udfs/labels.py:46-47) is recorded as
+  ``apply_at = event_ts + delay`` — the reference carries it on the
+  effect for external consumers (legacy webhook delay); the engine
+  itself applies the state change immediately, as the reference's
+  LabelOutputSink does.
 
-Storage: versioned parquet snapshots + an atomically-renamed pointer
-file (the plain-parquet stand-in for an Iceberg MERGE target). Readers
-``read()`` the pinned version — within one micro-batch, HasLabel joins
-see state *as of the previous batch*, matching the reference's ordering
-(effects apply after execution, output_sink.py:186-211).
+Storage: ``HashPartitionedStateStore`` — per batch only the hash buckets
+containing mutated entities are rewritten, so the per-batch merge cost
+is O(|delta|), flat as lifetime state grows (the round-1 full-snapshot
+rewrite was O(|state|) per batch — the clearest scale-killer at 10^12
+turns). Readers see state *as of the previous batch* — within one
+micro-batch, HasLabel joins never observe same-batch writes, matching
+the reference's ordering (effects apply after execution,
+output_sink.py:186-211).
 """
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from osprey_spark.streaming.state_store import HashPartitionedStateStore
+
 STATE_SCHEMA = (
     "entity_type string, entity_id string, label_name string, "
-    "status int, created_at timestamp, expires_ts timestamp"
+    "status int, created_at timestamp, expires_ts timestamp, apply_at timestamp"
 )
 
 MUTATION_COLS = ["entity_type", "entity_id", "label_name", "status", "event_ts", "expires_ts"]
 
+KEY = ["entity_type", "entity_id", "label_name"]
+
+# under this snapshot size the HasLabel join side is force-broadcast;
+# above it the hint is omitted and AQE picks broadcast vs shuffle from
+# runtime sizes (a hot label over millions of entities must not be
+# forced through the driver)
+BROADCAST_BYTES = 32 * 1024 * 1024
+
 
 class LabelStateStore:
-    def __init__(self, path: str):
+    def __init__(self, path: str, num_partitions: int = 64):
+        self.store = HashPartitionedStateStore(
+            path, key_cols=KEY, schema=STATE_SCHEMA, num_partitions=num_partitions
+        )
         self.path = path
-        os.makedirs(path, exist_ok=True)
-
-    def _version_file(self) -> str:
-        return os.path.join(self.path, "_VERSION")
 
     def current_version(self) -> int:
-        try:
-            with open(self._version_file()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return -1
+        return self.store.current_version()
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        v = self.current_version()
-        if v < 0:
-            return spark.createDataFrame([], STATE_SCHEMA)
-        return spark.read.parquet(os.path.join(self.path, f"v{v}"))
+    @property
+    def last_merge_stats(self) -> dict:
+        return self.store.last_merge_stats
+
+    def approx_size_bytes(self) -> int:
+        return self.store.approx_size_bytes()
+
+    def broadcastable(self) -> bool:
+        return self.approx_size_bytes() < BROADCAST_BYTES
+
+    def read(self, spark: SparkSession, before_batch: Optional[int] = None) -> DataFrame:
+        return self.store.read(spark, before_batch=before_batch)
 
     def apply_mutations(self, mutations: DataFrame, batch_id: Optional[int] = None) -> int:
         """MERGE a batch of mutation rows into the state table.
 
-        Idempotent per version: re-applying after a crash overwrites the
-        same next-version directory before the pointer moves."""
-        spark = mutations.sparkSession
-        current = self.read(spark)
-
-        valid = mutations.filter(
-            (F.col("entity_id") != "") & (F.col("label_name") != "")
-        )
+        Exactly-once per ``batch_id``: a replayed batch whose state delta
+        already landed (crash between state apply and sink commit) is a
+        no-op, and pipeline reads use ``before_batch`` to see pre-batch
+        state on replay."""
+        if "apply_at" not in mutations.columns:
+            mutations = mutations.withColumn("apply_at", F.col("event_ts"))
+        valid = mutations.filter((F.col("entity_id") != "") & (F.col("label_name") != ""))
         # in-batch conflict resolution: higher status wins, then later event
-        w = Window.partitionBy("entity_type", "entity_id", "label_name").orderBy(
-            F.desc("status"), F.desc("event_ts")
-        )
+        w = Window.partitionBy(*KEY).orderBy(F.desc("status"), F.desc("event_ts"))
         winners = (
             valid.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(
-                "entity_type",
-                "entity_id",
-                "label_name",
+                *KEY,
                 F.col("status").cast("int").alias("new_status"),
                 F.col("event_ts").alias("new_created_at"),
                 F.col("expires_ts").alias("new_expires_ts"),
+                F.col("apply_at").alias("new_apply_at"),
             )
         )
-        key = ["entity_type", "entity_id", "label_name"]
-        merged = current.join(winners, on=key, how="full_outer")
-        manual_block = F.col("status").isin(2, 3) & (F.col("new_status") < 2)
-        take_new = F.col("new_status").isNotNull() & ~F.coalesce(manual_block, F.lit(False))
-        next_state = merged.select(
-            *key,
-            F.when(take_new, F.col("new_status")).otherwise(F.col("status")).alias("status"),
-            F.when(take_new, F.col("new_created_at")).otherwise(F.col("created_at")).alias("created_at"),
-            F.when(take_new, F.col("new_expires_ts")).otherwise(F.col("expires_ts")).alias("expires_ts"),
-        )
 
-        v = self.current_version() + 1
-        target = os.path.join(self.path, f"v{v}")
-        next_state.write.mode("overwrite").parquet(target)
-        tmp = self._version_file() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.rename(tmp, self._version_file())
-        return v
+        def merge_fn(current: DataFrame, delta: DataFrame) -> DataFrame:
+            merged = current.join(delta, on=KEY, how="full_outer")
+            manual_block = F.col("status").isin(2, 3) & (F.col("new_status") < 2)
+            take_new = F.col("new_status").isNotNull() & ~F.coalesce(
+                manual_block, F.lit(False)
+            )
+            pick = lambda new, old: F.when(take_new, F.col(new)).otherwise(F.col(old))  # noqa: E731
+            return merged.select(
+                *KEY,
+                pick("new_status", "status").alias("status"),
+                pick("new_created_at", "created_at").alias("created_at"),
+                pick("new_expires_ts", "expires_ts").alias("expires_ts"),
+                pick("new_apply_at", "apply_at").alias("apply_at"),
+            )
+
+        return self.store.merge(winners, merge_fn, batch_id=batch_id)
 
     def active_labels(self, spark: SparkSession, as_of=None) -> DataFrame:
         """Labels currently in effect: effective status is ADDED-ish and
@@ -122,15 +135,20 @@ class LabelStateStore:
         out_col: str = "has_label",
         as_of=None,
     ) -> DataFrame:
-        """HasLabel (stdlib/udfs/labels.py:159-311) as a broadcast join
-        against the (small, per-label) active-label set."""
+        """HasLabel (stdlib/udfs/labels.py:159-311) as a join against the
+        (per-label) active-label set. Broadcast is forced only while the
+        snapshot is verifiably small; past that the hint is dropped and
+        AQE decides (a hot label over millions of entities would blow the
+        driver's broadcast limit)."""
         active = (
             self.active_labels(df.sparkSession, as_of=as_of)
             .filter((F.col("entity_type") == entity_type) & (F.col("label_name") == label))
             .select(F.col("entity_id").alias("_lbl_eid"), F.lit(True).alias(out_col))
         )
+        if self.broadcastable():
+            active = F.broadcast(active)
         joined = df.join(
-            F.broadcast(active),
+            active,
             on=[F.col(entity_id_col).cast("string") == F.col("_lbl_eid")],
             how="left",
         )

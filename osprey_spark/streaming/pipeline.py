@@ -6,9 +6,22 @@ micro-batch stream of transcript turns is evaluated against the compiled
 rule plan; results land in the exactly-once sink; label mutations MERGE
 into the label state store; per-batch metrics are recorded.
 
+One evaluation per micro-batch: the compiled plan (with the applied-
+mutation structs column) is persisted once; mutation rows are an explode
+over the cache, late-data metrics ride the write pass via
+``df.observe()``, and sink lineage comes from parquet footers — the
+round-1 pipeline evaluated the plan 2-3× per batch.
+
 Within a batch, HasLabel-style joins read label state **as of the
 previous batch** — the reference applies label effects after execution
-(output_sink.py:186-211), so reads never see same-event writes.
+(output_sink.py:186-211), so reads never see same-event writes. On
+replay the state stores' ``before_batch`` reads pin that same snapshot
+even if the crash landed after the state delta was applied.
+
+Commit protocol (exactly-once, crash anywhere): label + verdict state
+deltas apply FIRST (idempotent per batch id), the sink's commit marker
+lands LAST. A replayed batch re-applies nothing that already landed and
+re-writes the (invisible, uncommitted) data files.
 
 Resume: Spark's ``checkpointLocation`` tracks the source offsets; batch
 replay after a crash hits the sink's committed-batch guard → no
@@ -20,12 +33,13 @@ from __future__ import annotations
 import os
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from osprey_spark.sml.compiler import CompiledRuleset, RulesetCompiler
 from osprey_spark.streaming.label_state import LabelStateStore
 from osprey_spark.streaming.sink import IdempotentParquetSink
+from osprey_spark.streaming.state_store import HashPartitionedStateStore
 
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -67,7 +81,11 @@ class RuleStreamPipeline:
         self.sink = IdempotentParquetSink(os.path.join(workdir, "results"))
         self.labels = LabelStateStore(os.path.join(workdir, "labels"))
         self.checkpoint = os.path.join(workdir, "checkpoint")
-        self._verdict_state_dir = os.path.join(workdir, "verdict_state")
+        self.verdict_state = HashPartitionedStateStore(
+            os.path.join(workdir, "verdict_state"),
+            key_cols=[key_col],
+            schema=f"{key_col} string, prior_verdict_count long",
+        )
         schema_str = input_schema or TRANSCRIPT_SCHEMA
         from pyspark.sql.types import _parse_datatype_string
 
@@ -87,7 +105,9 @@ class RuleStreamPipeline:
         """Per-action-name sampling (reference ActionSampler,
         worker/sinks/sink/rules_sink.py:46-69). Deterministic here — rate
         decided by a hash of the row, not random(), so replays are
-        exactly-once-safe."""
+        exactly-once-safe. Surviving rows carry ``__sample_rate`` (the
+        reference's executor.py:393-401 dunder) so downstream counts can
+        be re-weighted by 1/rate."""
         if not self.sample_rates:
             return df
         rate_expr = None
@@ -100,7 +120,9 @@ class RuleStreamPipeline:
             )
         rate_expr = rate_expr.otherwise(F.lit(1.0)) if rate_expr is not None else F.lit(1.0)
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(10000))
-        return df.filter(bucket < rate_expr * 10000)
+        return df.filter(bucket < rate_expr * 10000).withColumn(
+            "__sample_rate", rate_expr
+        )
 
     def _salted(self, df: DataFrame) -> DataFrame:
         """Optional hot-key defusal before evaluation: spread each key over
@@ -110,78 +132,53 @@ class RuleStreamPipeline:
         salt = F.pmod(F.xxhash64(F.col(self.timestamp_col)), F.lit(self.salt_buckets))
         return df.repartition(F.col(self.key_col), salt)
 
-    def prior_verdict_counts(self) -> DataFrame:
+    def prior_verdict_counts(self, before_batch: Optional[int] = None) -> DataFrame:
         """Verdict state as of the previous batch: conv_id → verdicts so
         far. The stream-state side of cross-turn correlation."""
-        import os as _os
+        return self.verdict_state.read(self.spark, before_batch=before_batch)
 
-        if _os.path.exists(_os.path.join(self._verdict_state_dir, "_VERSION")):
-            with open(_os.path.join(self._verdict_state_dir, "_VERSION")) as fh:
-                v = int(fh.read().strip())
-            return self.spark.read.parquet(_os.path.join(self._verdict_state_dir, f"v{v}"))
-        return self.spark.createDataFrame(
-            [], f"{self.key_col} string, prior_verdict_count long"
-        )
-
-    def _update_verdict_state(self, out: DataFrame) -> None:
-        state = self.prior_verdict_counts()
+    def _update_verdict_state(self, out: DataFrame, batch_id: int) -> None:
         delta = (
             out.select(self.key_col, F.size("__verdicts").alias("_n"))
             .groupBy(self.key_col)
             .agg(F.sum("_n").alias("_dn"))
+            .filter(F.col("_dn") > 0)
         )
-        merged = (
-            state.join(delta, on=self.key_col, how="full_outer")
-            .select(
+
+        def merge_fn(current: DataFrame, d: DataFrame) -> DataFrame:
+            return current.join(d, on=self.key_col, how="full_outer").select(
                 self.key_col,
                 (
                     F.coalesce(F.col("prior_verdict_count"), F.lit(0))
                     + F.coalesce(F.col("_dn"), F.lit(0))
                 ).alias("prior_verdict_count"),
             )
-        )
-        import os as _os
 
-        vf = _os.path.join(self._verdict_state_dir, "_VERSION")
-        v = 0
-        if _os.path.exists(vf):
-            with open(vf) as fh:
-                v = int(fh.read().strip()) + 1
-        _os.makedirs(self._verdict_state_dir, exist_ok=True)
-        merged.write.mode("overwrite").parquet(_os.path.join(self._verdict_state_dir, f"v{v}"))
-        with open(vf + ".tmp", "w") as fh:
-            fh.write(str(v))
-        _os.rename(vf + ".tmp", vf)
+        self.verdict_state.merge(delta, merge_fn, batch_id=batch_id)
 
-    def _late_metrics(self, batch_df: DataFrame) -> dict:
-        """Late-data accounting: rows older than (high-watermark −
-        allowed lateness) are counted as late (they are still processed —
+    def _read_high_watermark(self) -> Optional[float]:
+        try:
+            with open(os.path.join(self.workdir, "_HIGH_WATERMARK")) as fh:
+                return float(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _late_metrics_from(self, obs: Observation, prev_hw: Optional[float]) -> dict:
+        """Late-data accounting from the write pass's ``observe()``
+        metrics (no extra evaluation): rows older than (high-watermark −
+        allowed lateness) are counted as late; they are still processed —
         foreachBatch sees every row; the metric mirrors what a stateful
-        operator's watermark would have dropped)."""
-        import os as _os
-
-        hw_file = _os.path.join(self.workdir, "_HIGH_WATERMARK")
-        prev_hw = None
-        if _os.path.exists(hw_file):
-            with open(hw_file) as fh:
-                prev_hw = float(fh.read().strip())
-        agg = batch_df.agg(
-            F.max(F.unix_timestamp(F.col(self.timestamp_col))).alias("mx"),
-            (
-                F.sum(
-                    (
-                        F.unix_timestamp(F.col(self.timestamp_col))
-                        < F.lit((prev_hw or float("-inf")) - self.watermark_seconds)
-                    ).cast("long")
-                )
-            ).alias("late"),
-        ).collect()[0]
-        new_hw = max(prev_hw or float("-inf"), float(agg["mx"] or float("-inf")))
+        operator's watermark would have dropped."""
+        m = obs.get
+        floor = prev_hw if prev_hw is not None else float("-inf")
+        mx = float(m["mx"]) if m.get("mx") is not None else float("-inf")
+        new_hw = max(floor, mx)
         if new_hw != float("-inf"):
+            hw_file = os.path.join(self.workdir, "_HIGH_WATERMARK")
             with open(hw_file + ".tmp", "w") as fh:
                 fh.write(str(new_hw))
-            _os.rename(hw_file + ".tmp", hw_file)
-        return {"late_rows": int(agg["late"] or 0), "high_watermark_epoch": new_hw}
+            os.rename(hw_file + ".tmp", hw_file)
+        return {"late_rows": int(m.get("late") or 0), "high_watermark_epoch": new_hw}
 
     # -- batch body ----------------------------------------------------------
 
@@ -189,37 +186,78 @@ class RuleStreamPipeline:
         if self.sink.is_committed(batch_id):
             return  # replayed batch → exactly-once skip
         batch_df = self._salted(self._sample(batch_df))
-        label_state = self.labels.read(self.spark) if self.plan.label_lookups else None
-        out = self.plan.apply(batch_df, passthrough=self.passthrough, label_state=label_state)
+        pt = list(self.passthrough)
+        if self.sample_rates:
+            pt.append("__sample_rate")
+        # label state as-of the PREVIOUS batch (reads-before-writes; on
+        # replay, before_batch pins the snapshot the batch originally saw)
+        label_state = (
+            self.labels.read(self.spark, before_batch=batch_id)
+            if self.plan.label_lookups
+            else None
+        )
+        out = self.plan.apply(
+            batch_df,
+            passthrough=pt,
+            label_state=label_state,
+            include_mutation_structs=True,
+            force_broadcast=self.labels.broadcastable(),
+        )
         if self.track_verdict_state:
             # stream-state join: each turn sees verdicts accumulated in
             # PRIOR batches only (reads-before-writes ordering, matching
             # the reference's labels: output_sink.py:186-211)
-            prior = self.prior_verdict_counts()
+            prior = self.prior_verdict_counts(before_batch=batch_id)
             out = out.join(F.broadcast(prior), on=self.key_col, how="left").withColumn(
                 "prior_verdict_count",
                 F.coalesce(F.col("prior_verdict_count"), F.lit(0)),
             )
         if self.post_plan is not None:
             out = self.post_plan(batch_df, out)
-        self.sink.write_batch(out, batch_id, extra=self._late_metrics(batch_df))
-        if self.track_verdict_state:
-            self._update_verdict_state(out)
-        mutations = self.plan.label_mutation_rows(batch_df)
-        if mutations.limit(1).count() > 0:
-            self.labels.apply_mutations(mutations, batch_id=batch_id)
-        # tee to additional sinks (the MultiOutputSink analog,
-        # worker/sinks/sink/output_sink.py:54-120); each sink is isolated —
-        # one failing does not poison the committed result
-        if self.console:
-            out.show(20, truncate=40)
-        for sink_fn in self.extra_sinks:
-            try:
-                sink_fn(out, batch_id)
-            except Exception:  # noqa: BLE001 — per-sink failure isolation
-                import logging
+        out = out.persist()
+        try:
+            # -- single evaluation: the first action below materializes the
+            # cache; everything after reads it
+            if self.plan.labels:
+                # mutation rows explode the structs column of the SAME
+                # evaluated frame (HasLabel-dependent apply_if conditions
+                # included — the raw batch would miss resolved lookups)
+                mutations = self.plan.label_mutation_rows(out)
+                # state deltas FIRST, sink commit marker LAST: a crash in
+                # between replays into idempotent per-batch state merges,
+                # so mutations are never lost or double-applied
+                self.labels.apply_mutations(mutations, batch_id=batch_id)
+            if self.track_verdict_state:
+                self._update_verdict_state(out, batch_id)
+            prev_hw = self._read_high_watermark()
+            obs = Observation()
+            floor = (prev_hw if prev_hw is not None else float("-inf")) - self.watermark_seconds
+            to_write = out.drop(CompiledRuleset.MUTATION_STRUCTS_COL).observe(
+                obs,
+                F.max(F.unix_timestamp(F.col("__timestamp"))).alias("mx"),
+                F.sum(
+                    (F.unix_timestamp(F.col("__timestamp")) < F.lit(floor)).cast("long")
+                ).alias("late"),
+            )
+            self.sink.write_batch(
+                to_write, batch_id, extra=lambda: self._late_metrics_from(obs, prev_hw)
+            )
+            # tee to additional sinks (the MultiOutputSink analog,
+            # worker/sinks/sink/output_sink.py:54-120); each sink is isolated —
+            # one failing does not poison the committed result
+            if self.console:
+                out.show(20, truncate=40)
+            for sink_fn in self.extra_sinks:
+                try:
+                    sink_fn(out, batch_id)
+                except Exception:  # noqa: BLE001 — per-sink failure isolation
+                    import logging
 
-                logging.getLogger(__name__).exception("extra sink failed (batch %s)", batch_id)
+                    logging.getLogger(__name__).exception(
+                        "extra sink failed (batch %s)", batch_id
+                    )
+        finally:
+            out.unpersist()
 
     # -- stream wiring -------------------------------------------------------
 

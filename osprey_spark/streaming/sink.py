@@ -10,20 +10,23 @@ marker exists. Replayed batches (after failure/restart mid-commit) are
 skipped — idempotent under Structured Streaming's batch-id replay
 contract, which is exactly how the Iceberg sink achieves exactly-once.
 
-Per-partition lineage: each committed batch records its source partition
-ids and row counts in the commit marker (JSON), satisfying the
-"per-partition lineage + metrics" requirement.
+Per-partition lineage: each committed batch records per-output-file row
+counts read from the parquet footers (driver-side metadata, no second
+evaluation of the plan — the Iceberg-manifest-statistics analog). The
+round-1 implementation ran a ``groupBy(spark_partition_id()).count()``
+for lineage, which evaluated the whole compiled rule plan a second time
+per micro-batch; footers make lineage free.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
-from typing import Optional
+from typing import Callable, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class IdempotentParquetSink:
@@ -47,24 +50,36 @@ class IdempotentParquetSink:
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._commit_marker(batch_id))
 
-    def write_batch(self, df: DataFrame, batch_id: int, extra: Optional[dict] = None) -> bool:
+    def write_batch(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        extra: Union[dict, Callable[[], dict], None] = None,
+    ) -> bool:
         """foreachBatch body. Returns False when the batch was already
-        committed (replay after restart) — the exactly-once guard."""
+        committed (replay after restart) — the exactly-once guard.
+
+        ``extra`` may be a callable evaluated AFTER the write action —
+        the hook for ``df.observe()`` metrics that only exist once the
+        single evaluation pass has run."""
         if self.is_committed(batch_id):
             return False
         target = os.path.join(self.data_dir, f"batch={batch_id}")
         t0 = time.time()
-        # per-partition lineage: rows per source partition id
-        with_pid = df.withColumn("_pid", F.spark_partition_id())
-        lineage_rows = with_pid.groupBy("_pid").count().collect()
-        with_pid.drop("_pid").write.mode("overwrite").parquet(target)
+        df.write.mode("overwrite").parquet(target)
+        # per-partition lineage from the written files' footers: one plan
+        # evaluation total (the write), zero extra Spark jobs
+        partitions = {}
+        for fp in sorted(glob.glob(os.path.join(target, "*.parquet"))):
+            partitions[os.path.basename(fp)] = _footer_rows(fp)
+        extra_d = extra() if callable(extra) else (extra or {})
         marker = {
             "batch_id": batch_id,
-            "rows": int(sum(r["count"] for r in lineage_rows)),
-            "partitions": {str(r["_pid"]): int(r["count"]) for r in lineage_rows},
+            "rows": int(sum(partitions.values())),
+            "partitions": partitions,
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.time(),
-            **(extra or {}),
+            **extra_d,
         }
         tmp = self._commit_marker(batch_id) + ".tmp"
         with open(tmp, "w") as f:
@@ -85,3 +100,9 @@ class IdempotentParquetSink:
             with open(self._commit_marker(b)) as f:
                 out.append(json.load(f))
         return out
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(path).metadata.num_rows)

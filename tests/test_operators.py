@@ -230,4 +230,5 @@ HasHello = Rule(when_all=[TextContains(text=Text, phrase='hello')], description=
     ).compile()
     out = {r["UserId"]: r for r in plan.apply(df).collect()}
     assert out["u1"]["HasHello"] is True
-    assert out["u2"]["HasHello"] is None  # Text failed → rule poisoned
+    # Text failed → None condition is falsey → rule False (collapsed-failure contract)
+    assert out["u2"]["HasHello"] is False
