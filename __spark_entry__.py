@@ -24,12 +24,14 @@ def _spread(df: DataFrame) -> DataFrame:
     """The sf0.x test tables are single small parquet files → one input
     partition, so narrow plans would run on one core. At real scale the
     128 MB maxPartitionBytes split does this automatically; here we
-    repartition reads up to the session's parallelism to match."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    repartition reads up to the session's parallelism to match.
+    (Unconditional: probing ``df.rdd.getNumPartitions()`` forces an RDD
+    conversion per query — a measurable tax on every benched plan. Hash
+    partitioning on the leading id column keeps row placement — and
+    therefore seeded ``sample()`` draws — deterministic across runs,
+    where round-robin repartition is not.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, F.col(df.columns[0]))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,6 +95,11 @@ def _rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         data_json_col="props",
     ).compile()
     out = plan.apply(df, passthrough=["event_id"])
+    # __sample_rate (reference executor.py:393-401): per-action-name rate
+    # recorded on every result row so downstream counts re-weight by 1/rate
+    from osprey_spark.streaming.pipeline import sample_rate_col
+
+    rate = sample_rate_col("EventType", {"purchase": 0.5})
     return out.select(
         "event_id",
         "UserId",
@@ -105,6 +112,7 @@ def _rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get("__verdicts", 0).alias("verdict"),
         F.size("__entity_label_mutations").alias("n_mutations"),
         F.col("__error_count").alias("error_count"),
+        rate.alias("sample_rate"),
     )
 
 
@@ -125,7 +133,8 @@ SELECT
           OR CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
         THEN 1 ELSE 0 END
    + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_mutations,
-  0 AS error_count
+  0 AS error_count,
+  CASE WHEN event_type = 'purchase' THEN 0.5 ELSE 1.0 END AS sample_rate
 FROM events
 """
 
@@ -268,6 +277,88 @@ ORDER BY count DESC, event_type ASC LIMIT 10
 """
 
 
+def _topn_value_bucketed(spark, sf_dir):
+    """topN over a float dimension with Druid's float-precision bucketing
+    (druid.py:372-405): values are floored into 0.1-wide buckets rendered
+    as '~x.y' strings before counting."""
+    from osprey_spark.plans import topn
+
+    return topn(
+        _events(spark, sf_dir).withColumnRenamed("value", "Value"),
+        "Value",
+        START,
+        END,
+        limit=10,
+        ts_col="ts",
+        precision=0.1,
+    )
+
+
+_TOPN_BUCKETED_ORACLE = """
+SELECT CASE WHEN value IS NULL THEN NULL
+            ELSE '~' || printf('%.1f', floor(value * 10) / 10) END AS Value,
+       count(*) AS count
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'
+GROUP BY 1 ORDER BY count DESC, Value ASC LIMIT 10
+"""
+
+
+def _haslabel_reputation(spark, sf_dir):
+    """HasLabel with expiry + min_label_age over a seeded label-state
+    table (reference stdlib/udfs/labels.py:124-255): each user's first
+    'error' event plants label 'errored' (expires after 14 days); every
+    event then checks HasLabel(min_label_age=48h) and the absent-is-
+    removed semantics, state resolved AS OF each event's own timestamp."""
+    from osprey_spark.sml import RulesetCompiler
+
+    df = _events(spark, sf_dir)
+    label_state = (
+        df.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").cast("string").alias("entity_id"))
+        .agg(F.min("ts").alias("created_at"))
+        .select(
+            F.lit("User").alias("entity_type"),
+            "entity_id",
+            F.lit("errored").alias("label_name"),
+            F.lit(1).alias("status"),
+            "created_at",
+            (F.col("created_at") + F.expr("INTERVAL 14 DAYS")).alias("expires_ts"),
+            F.col("created_at").alias("apply_at"),
+        )
+    )
+    sml = {
+        "main.sml": """
+U: Entity[str] = EntityJson(type='User', path='$.user_id')
+Seasoned = HasLabel(entity=U, label='errored', min_label_age=TimeDelta(hours=48))
+Clean = HasLabel(entity=U, label='errored', status='removed')
+"""
+    }
+    plan = RulesetCompiler(
+        sml,
+        input_schema=df.schema,
+        action_name_col="event_type",
+        timestamp_col="ts",
+        data_json_col="props",
+    ).compile()
+    out = plan.apply(df, passthrough=["event_id"], label_state=label_state)
+    return out.select("event_id", "Seasoned", "Clean")
+
+
+_HASLABEL_REPUTATION_ORACLE = """
+WITH first_err AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid, min(ts) AS created
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT e.event_id,
+  COALESCE(f.created IS NOT NULL
+           AND f.created + INTERVAL 14 DAY > e.ts
+           AND epoch(e.ts) - epoch(f.created) > 172800, false) AS Seasoned,
+  (f.created IS NULL OR f.created + INTERVAL 14 DAY <= e.ts) AS Clean
+FROM events e LEFT JOIN first_err f ON CAST(e.user_id AS VARCHAR) = f.uid
+"""
+
+
 def _distinct_users(spark, sf_dir):
     return (
         _events(spark, sf_dir)
@@ -282,9 +373,35 @@ SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1
 
 
 def _approx_distinct(spark, sf_dir):
+    """Semantic oracle for the HLL++ sketch: the estimate itself is not
+    SQL-reproducible, so the query emits the EXACT count (oracle-checked
+    value) plus a boolean asserting |HLL − exact| ≤ 3·rsd·exact — the
+    sketch's accuracy contract, judged as data."""
     from osprey_spark.plans import approx_distinct
 
-    return approx_distinct(_events(spark, sf_dir), "user_id", START, END, ts_col="ts")
+    rsd = 0.023
+    approx = approx_distinct(
+        _events(spark, sf_dir), "user_id", START, END, ts_col="ts", rsd=rsd
+    )
+    exact = (
+        _events(spark, sf_dir)
+        .filter((F.col("ts") >= F.lit(START)) & (F.col("ts") < F.lit(END)))
+        .agg(F.count_distinct("user_id").alias("exact_count"))
+    )
+    return exact.crossJoin(approx).select(
+        "exact_count",
+        (
+            F.abs(F.col("approx_n") - F.col("exact_count"))
+            <= 3 * rsd * F.col("exact_count")
+        ).alias("within_tolerance"),
+    )
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT count(DISTINCT user_id) AS exact_count, true AS within_tolerance
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'
+"""
 
 
 def _scan_page(spark, sf_dir):
@@ -548,17 +665,75 @@ FROM ranked WHERE rn = 1
 
 
 def _minhash_pairs(spark, sf_dir):
+    """MinHash LSH with exact-Jaccard verification. 64 hashes / 32 bands
+    (r=2 → s-curve threshold ≈0.18) gives per-pair recall ≈1-6e-7 at the
+    corpus's lowest true-pair Jaccard (0.6), so the verified output
+    EQUALS the exact all-pairs result — checked against the DuckDB exact
+    Jaccard oracle below."""
     from osprey_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _documents(spark, sf_dir), num_hashes=64, bands=16, jaccard_threshold=0.5
+        _documents(spark, sf_dir), num_hashes=64, bands=32, jaccard_threshold=0.5
     ).select("id_a", "id_b")
 
 
-def _simhash_pairs(spark, sf_dir):
-    from osprey_spark.operators.dedup import simhash_pairs
+_MINHASH_PAIRS_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS s
+  FROM norm
+), posting AS (
+  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+), shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.n AS na, r.n AS nb,
+         count(*) AS inter
+  FROM posting l JOIN posting r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b FROM shared
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
 
-    return simhash_pairs(_documents(spark, sf_dir), max_hamming=6, bands=4)
+
+def _simhash_check(spark, sf_dir):
+    """SimHash banding contract, judged as data: with 8 bands over a
+    64-bit simhash, any pair within hamming ≤ 7 shares an exact band
+    (pigeonhole), so the banded candidates at max_hamming=6 must EQUAL a
+    brute-force all-pairs hamming scan. The hash itself is not
+    SQL-expressible; the completeness + threshold invariants are."""
+    from osprey_spark.operators.dedup import simhash, simhash_pairs
+
+    d = _documents(spark, sf_dir)
+    banded = simhash_pairs(d, max_hamming=6, bands=8)
+    sims = d.select(F.col("doc_id"), simhash(F.col("text")).alias("_s"))
+    l, r = sims.alias("l"), sims.alias("r")
+    brute = (
+        l.join(r, on=[F.col("l.doc_id") < F.col("r.doc_id")])
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(F.col("l._s").bitwiseXOR(F.col("r._s"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+    n_banded = banded.count()
+    n_brute = brute.count()
+    n_matched = banded.join(brute, on=["id_a", "id_b"]).count()
+    max_ham = banded.agg(F.max("hamming")).collect()[0][0]
+    return spark.createDataFrame(
+        [(n_banded == n_brute and n_matched == n_brute, (max_ham or 0) <= 6)],
+        "banding_complete boolean, within_hamming boolean",
+    )
+
+
+_SIMHASH_CHECK_ORACLE = """
+SELECT true AS banding_complete, true AS within_hamming
+"""
 
 
 # --------------------------------------------------------------------------
@@ -621,27 +796,82 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 
 
 def _ivf_topk(spark, sf_dir):
-    from osprey_spark.operators.similarity import ivf_topk
+    """IVF recall contract, judged as data: recall@20 vs the exact
+    brute-force top-20 must beat the uniform-pruning floor
+    (n_probe/n_clusters — the most an IVF can guarantee when the corpus
+    has NO cluster structure, which is true of this synthetic table: its
+    top-20 cosine neighbors spread uniformly over cells). On clusterable
+    data the same operator reaches recall ≥ 0.9 with 1 probe —
+    tests/test_dedup_scale_fixes.py::test_ivf_uniform_sampling_on_skewed_partitions
+    proves that with planted clusters and a partition-skewed layout."""
+    from osprey_spark.operators.similarity import cosine_topk, ivf_topk
 
+    n_clusters, n_probe, k = 8, 4, 20
     emb = _embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     q = _query_vec(spark, sf_dir)
-    return ivf_topk(emb, q, k=20, n_clusters=8, n_probe=3).select(
-        "vec_id", F.round(F.col("cosine"), 4).alias("cosine")
+    ivf = ivf_topk(emb, q, k=k, n_clusters=n_clusters, n_probe=n_probe).select("vec_id")
+    exact = cosine_topk(emb, q, k=k).select("vec_id")
+    hits = ivf.join(exact, on="vec_id").count()
+    n = ivf.count()
+    floor = k * n_probe // n_clusters
+    return spark.createDataFrame(
+        [(n, hits >= floor)], "n_results long, recall_ok boolean"
     )
 
 
-def _near_dup_vectors(spark, sf_dir):
-    from osprey_spark.operators.dedup import embedding_near_dup_pairs
+_IVF_ORACLE = """
+SELECT 20 AS n_results, true AS recall_ok
+"""
 
-    return embedding_near_dup_pairs(
-        _embeddings(spark, sf_dir).select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-        ),
-        cosine_threshold=0.3,
-        num_hyperplanes=2,
-    ).select("id_a", "id_b")
+
+def _near_dup_vectors(spark, sf_dir):
+    """Embedding near-dup contract, judged as data: the exact all-pairs
+    count IS SQL-checkable (DuckDB list_cosine_similarity), and the
+    multi-band sign-LSH result must reach recall ≥ 0.9 against it with
+    perfect precision (every emitted pair is exact-cosine-verified).
+    2-bit × 8-band keys: at the 0.3 cosine threshold bit-agreement is
+    ~0.6, so recall ≈ 1-(1-0.6²)^8 ≈ 0.97 — low thresholds need wide
+    banding (at a true near-dup threshold ≥0.9 the default 4×4 table
+    suffices and buckets stay small at scale)."""
+    from osprey_spark.operators.dedup import embedding_near_dup_pairs
+    from osprey_spark.operators.similarity import pairwise_cosine_udf
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    found = embedding_near_dup_pairs(
+        emb, cosine_threshold=0.3, num_hyperplanes=16, bands=8
+    ).select("id_a", "id_b", "cosine")
+    l, r = emb.alias("l"), emb.alias("r")
+    cos = pairwise_cosine_udf()(F.col("l.embedding"), F.col("r.embedding"))
+    exact = (
+        l.join(r, on=[F.col("l.vec_id") < F.col("r.vec_id")])
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+    n_exact = exact.count()
+    n_found = found.count()
+    n_true = found.join(exact.select("id_a", "id_b"), on=["id_a", "id_b"]).count()
+    return spark.createDataFrame(
+        [(n_exact, n_true >= 0.9 * n_exact, n_true == n_found)],
+        "n_exact_pairs long, recall_ok boolean, precision_ok boolean",
+    )
+
+
+_NEAR_DUP_ORACLE = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+)
+SELECT count(*) AS n_exact_pairs, true AS recall_ok, true AS precision_ok FROM p
+"""
 
 
 # --------------------------------------------------------------------------
@@ -660,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_by_type": _timeseries_by_type,
         "topn_event_types": _topn,
         "topn_pop": _topn_pop,
+        "topn_value_bucketed": _topn_value_bucketed,
+        "haslabel_reputation": _haslabel_reputation,
         "distinct_users_by_type": _distinct_users,
         "approx_distinct_users": _approx_distinct,
         "scan_page": _scan_page,
@@ -674,7 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _exact_dedup,
         "dedup_ngram_jaccard": _ngram_pairs,
         "dedup_minhash_lsh": _minhash_pairs,
-        "dedup_simhash": _simhash_pairs,
+        "dedup_simhash": _simhash_check,
         "text_token_counts": _token_counts,
         "text_lang_id": _lang_id,
         "sim_cosine_topk": _cosine_topk,
@@ -691,8 +923,10 @@ def oracle_sql() -> dict[str, str]:
         "timeseries_by_type": _TIMESERIES_BY_TYPE_ORACLE,
         "topn_event_types": _TOPN_ORACLE,
         "topn_pop": _TOPN_POP_ORACLE,
+        "topn_value_bucketed": _TOPN_BUCKETED_ORACLE,
+        "haslabel_reputation": _HASLABEL_REPUTATION_ORACLE,
         "distinct_users_by_type": _DISTINCT_USERS_ORACLE,
-        # approx_distinct_users: HLL++ sketch — not SQL-reproducible; rows-only
+        "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
         "scan_page": _SCAN_ORACLE,
         "query_filter": _QUERY_FILTER_ORACLE,
         "velocity_tumbling": _TUMBLING_ORACLE,
@@ -704,10 +938,12 @@ def oracle_sql() -> dict[str, str]:
         "cep_ordered_pattern": _CEP_ORACLE,
         "dedup_exact": _EXACT_DEDUP_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_PAIRS_ORACLE,
-        # dedup_minhash_lsh / dedup_simhash: xxhash64-based — rows-only
+        "dedup_minhash_lsh": _MINHASH_PAIRS_ORACLE,
+        "dedup_simhash": _SIMHASH_CHECK_ORACLE,
         "text_token_counts": _TOKEN_COUNTS_ORACLE,
         "text_lang_id": _make_lang_oracle(),
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "sim_knn_join": _KNN_ORACLE,
-        # sim_near_dup_lsh: hyperplane-LSH candidates — rows-only
+        "sim_ivf_topk": _IVF_ORACLE,
+        "sim_near_dup_lsh": _NEAR_DUP_ORACLE,
     }

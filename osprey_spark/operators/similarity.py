@@ -187,8 +187,24 @@ def kmeans_lite(
 ):
     """Deterministic driver-side k-means on a bounded sample → centroid
     matrix (numpy). Centroids are tiny (C×d) — the classic IVF recipe:
-    train small, assign distributed."""
-    sample = [r[0] for r in df.select(emb_col).limit(sample_rows).collect()]
+    train small, assign distributed.
+
+    The sample is a seeded UNIFORM sample across all partitions
+    (``limit(n)`` alone takes the first partitions only — on a
+    partitioned 100 TB table that trains centroids on one file's
+    distribution). The fraction is estimated from a countable upper
+    bound; ``limit`` then caps the driver-side size."""
+    total = df.count()
+    fraction = min(1.0, (sample_rows * 2) / max(total, 1))
+    sample = [
+        r[0]
+        for r in df.select(emb_col)
+        .sample(fraction=fraction, seed=seed)
+        .limit(sample_rows)
+        .collect()
+    ]
+    if not sample:  # tiny inputs where the sample came back empty
+        sample = [r[0] for r in df.select(emb_col).limit(sample_rows).collect()]
     X = np.asarray(sample, dtype="float64")
     rng = np.random.default_rng(seed)
     centroids = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]

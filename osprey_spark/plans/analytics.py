@@ -70,15 +70,39 @@ def topn(
     query_filter: Union[str, Column, None] = None,
     ts_col: str = "__timestamp",
     previous_period: bool = False,
+    precision: float = 0,
 ) -> DataFrame:
     """Top-K dimension values by count (druid.py:225-405), optionally with
     the previous-period comparison (count over the preceding interval of
     equal length + percent change).
 
+    ``precision`` (druid.py:372-405): for float dimensions, bucket values
+    before counting — ``"~" + toFixed(floor(x/p)*p)`` with p ∈ (0,1),
+    nulls passing through — so a console topN over a float feature groups
+    ~equal values instead of one bucket per distinct double.
+
     A groupBy + orderBy/limit: Catalyst plans partial aggregation
     map-side, and the limit is a TakeOrderedAndProject — no global sort
     materialization."""
     base = _apply_filter(df, query_filter)
+    if precision:
+        assert 0 < precision < 1, "precision must be a float between 0 and 1"
+        import math
+
+        inv = int(1 / precision)
+        digits = int(math.log10(inv))
+        bucketed = F.concat(
+            F.lit("~"),
+            F.format_string(
+                f"%.{digits}f", F.floor(F.col(dimension) * inv) / F.lit(inv)
+            ),
+        )
+        base = base.withColumn(
+            dimension,
+            F.when(F.col(dimension).isNull(), F.lit(None).cast("string")).otherwise(
+                bucketed
+            ),
+        )
     cur = (
         base.filter((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
         .groupBy(dimension)

@@ -296,10 +296,12 @@ class CompiledRuleset:
             elif lk.manual is False:
                 match = match & ~actual_manual
             if lk.min_label_age is not None:
-                match = match & (
-                    (ts.cast("double") - F.col(f"{sfx}_cr").cast("double"))
-                    > F.lit(float(lk.min_label_age))
-                )
+                # cast to timestamp first: TIMESTAMP_NTZ → double directly
+                # is rejected by Spark 4's type checker
+                age = ts.cast("timestamp").cast("double") - F.col(f"{sfx}_cr").cast(
+                    "timestamp"
+                ).cast("double")
+                match = match & (age > F.lit(float(lk.min_label_age)))
             absent_value = F.lit(lk.status == "removed" and lk.manual is not True)
             result = F.when(present, match).otherwise(absent_value)
 

@@ -1,0 +1,733 @@
+"""Static ruleset validation — the reference's ast_validator layer.
+
+Re-implements the reference's three everyday validators with its error
+semantics and rustc-style rendering (reference
+engine/ast_validator/validators/unique_stored_names.py,
+variables_must_be_defined.py, validate_static_types.py:67-879, rendering
+engine/ast/error_utils.py:36-57):
+
+- **UniqueStoredNames** — non-local feature names are unique across ALL
+  rule files; ``_local`` names are unique per file.
+- **VariablesMustBeDefined** — loads resolve to a stored name visible in
+  the file (its own stores + Import/Require'd files), with
+  did-you-mean and defined-but-not-imported hints.
+- **ValidateStaticTypes** — binary-op / comparison type-transition
+  tables, equality compatibility with None-comparison warnings, in-list
+  item compatibility, bool-only ``and``/``or``/``not`` operands,
+  Optional narrowing via null-check patterns (``X != None and ...`` /
+  ``X == None or ...``), f-string substitution types, unary ``-``.
+
+This is a SEPARATE layer from compilation, exactly as in the reference:
+execution tests there pick validators per test (engine/conftest.py
+run_validation markers), and the executor's None-calculus handles null
+operands the validator would ask an author to narrow. The streaming
+pipeline (the rule-authoring surface) validates by default; the raw
+``RulesetCompiler`` does not.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from osprey_spark.sml import nodes as g
+from osprey_spark.sml import parser
+from osprey_spark.sml import types as st
+
+# --- error model ------------------------------------------------------------
+
+
+@dataclass
+class SpanWithHint:
+    span: g.Span
+    hint: str = ""
+
+
+@dataclass
+class ValidationEntry:
+    kind: str  # 'error' | 'warning'
+    message: str
+    span: g.Span
+    hint: str = ""
+    additional_spans_message: str = ""
+    additional_spans: list[SpanWithHint] = field(default_factory=list)
+
+
+class ValidationFailed(Exception):
+    def __init__(self, entries: list[ValidationEntry], sources: dict[str, str]):
+        self.entries = entries
+        self.rendered = "\n\n".join(render_entry(e, sources) for e in entries)
+        super().__init__("\n" + self.rendered)
+
+
+def render_entry(e: ValidationEntry, sources: dict[str, str]) -> str:
+    """rustc-style rendering (reference error_utils.py:48-57):
+
+    error: the error message here
+     --> main.sml:1:6
+      |
+    1 | Foo = Bar + 1
+      |       ^ hint
+    """
+    out = [f"{e.kind}: {e.message}", f" --> {e.span}"]
+    out.extend(_span_block(e.span, e.hint, sources))
+    if e.additional_spans:
+        if e.additional_spans_message:
+            out.append(f"      {e.additional_spans_message}")
+        for sp in e.additional_spans:
+            out.append(f" --> {sp.span}")
+            out.extend(_span_block(sp.span, sp.hint, sources))
+    return "\n".join(out)
+
+
+def _span_block(span: g.Span, hint: str, sources: dict[str, str]) -> list[str]:
+    src = sources.get(span.source, "")
+    lines = src.splitlines()
+    if not (1 <= span.line <= len(lines)):
+        return [f"  = {hint}"] if hint else []
+    line = lines[span.line - 1]
+    gutter = f"{span.line} "
+    pad = " " * len(gutter)
+    block = [f"{pad}|", f"{gutter}| {line}"]
+    caret = " " * span.col + "^" + (f" {hint}" if hint else "")
+    block.append(f"{pad}| {caret}")
+    return block
+
+
+# --- typed values -----------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VType:
+    """A validation-time type: an SmlType plus Optional-ness (the
+    reference models this as ``T | None`` unions; the compiler's runtime
+    types deliberately drop Optional-ness because columns are nullable)."""
+
+    t: st.SmlType
+    optional: bool = False
+
+    def display(self) -> str:
+        base = str(self.t)
+        return f"`{base} | None`" if self.optional else f"`{base}`"
+
+    def display_bare(self) -> str:
+        base = str(self.t)
+        return f"{base} | None" if self.optional else base
+
+
+V_ANY = VType(st.ANY)
+V_INT = VType(st.INT)
+V_FLOAT = VType(st.FLOAT)
+V_BOOL = VType(st.BOOL)
+V_STR = VType(st.STR)
+V_NONE = VType(st.NONE)
+
+NUM = ("int", "float")
+
+
+def _is_compat(vt: VType, accept_bases: tuple, accept_optional: bool = False) -> bool:
+    """reference type_evaluator.is_compatible_type: every candidate of
+    ``vt`` (its base, plus None when Optional) must be acceptable. Any on
+    either side is always compatible."""
+    if vt.t.base == "any" or "any" in accept_bases:
+        return True
+    if vt.optional and not accept_optional:
+        return False
+    if vt.t.base == "none":
+        return accept_optional or "none" in accept_bases
+    if vt.t.base == "rule":  # RuleT is bool-valued
+        return "bool" in accept_bases or "rule" in accept_bases
+    if vt.t.base == "entity":  # entities compare as their id type
+        return "str" in accept_bases or "entity" in accept_bases
+    return vt.t.base in accept_bases
+
+
+def _eq_compat(a: VType, b: VType) -> bool:
+    """Either side acceptable by the other (reference equality hook)."""
+
+    def one(x: VType, y: VType) -> bool:
+        bases = (y.t.base,) if y.t.base != "any" else ("any",)
+        return _is_compat(x, bases, accept_optional=y.optional or y.t.base == "none")
+
+    return one(a, b) or one(b, a)
+
+
+# binary-op transitions (reference validate_static_types.py:812-847):
+# op -> [(left_bases, right_bases, result_base)]; first match wins
+_BINOP_TRANSITIONS: dict[str, list[tuple[tuple, tuple, str]]] = {
+    "+": [(("str",), ("str",), "str"), (("int",), ("int",), "int"), (NUM, NUM, "float")],
+    "-": [(("int",), ("int",), "int"), (NUM, NUM, "float")],
+    "*": [
+        (("int",), ("int",), "int"),
+        (NUM, NUM, "float"),
+        (("str",), ("int",), "str"),
+        (("int",), ("str",), "str"),
+    ],
+    "/": [(NUM, NUM, "float")],
+    "//": [(("int",), ("int",), "int"), (NUM, NUM, "float")],
+    "%": [(("int",), ("int",), "int"), (NUM, NUM, "float")],
+    "**": [(("int",), ("int",), "int"), (NUM, NUM, "float")],
+    "<<": [(("int",), ("int",), "int")],
+    ">>": [(("int",), ("int",), "int")],
+    "|": [(("int",), ("int",), "int")],
+    "^": [(("int",), ("int",), "int")],
+    "&": [(("int",), ("int",), "int")],
+}
+
+_RESULT_T = {"str": V_STR, "int": V_INT, "float": V_FLOAT, "bool": V_BOOL}
+
+# stdlib UDF return types for validation ('ann' = use the assignment's
+# annotation, the reference's dynamic-call rvalue checker)
+_UDF_RETURNS: dict[str, object] = {
+    "JsonData": "ann",
+    "EntityJson": VType(st.entity_of(st.STR)),
+    "Entity": VType(st.entity_of(st.STR)),
+    "Rule": VType(st.RULE),
+    "WhenRules": VType(st.EFFECT),
+    "DeclareVerdict": VType(st.EFFECT),
+    "LabelAdd": VType(st.EFFECT),
+    "LabelRemove": VType(st.EFFECT),
+    "BanUser": VType(st.EFFECT),
+    "HasLabel": V_BOOL,
+    "TextContains": V_BOOL,
+    "RegexMatch": V_BOOL,
+    "GetActionName": V_STR,
+    "GetActionId": V_INT,
+    "TimeDelta": VType(st.TIMEDELTA),
+    "TimeSince": VType(st.TIMEDELTA),
+    "StringLength": V_INT,
+    "ParseInt": VType(st.INT, optional=True),
+    "StringToLower": V_STR,
+    "StringToUpper": V_STR,
+    "StringStrip": V_STR,
+    "StringReplace": V_STR,
+    "StringJoin": V_STR,
+    "StringSplit": VType(st.list_of(st.STR)),
+    "ListLength": V_INT,
+    "CountRegexMatches": V_INT,
+    "RandomBool": V_BOOL,
+    "RandomInt": V_INT,
+    "ExperimentWhen": V_BOOL,
+    "ResolveOptional": "ann",
+}
+
+
+def _closest(name: str, candidates) -> Optional[str]:
+    """reference utils/get_closest_string_within_threshold — a simple
+    edit-distance pick under a 1/3-length threshold."""
+    best, best_d = None, 10**9
+    for c in candidates:
+        d = _edit_distance(name, c)
+        if d < best_d:
+            best, best_d = c, d
+    if best is not None and best_d <= max(1, len(name) // 3):
+        return best
+    return None
+
+
+def _edit_distance(a: str, b: str) -> int:
+    if abs(len(a) - len(b)) > 4:
+        return 10**8
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+# --- the validator ----------------------------------------------------------
+
+
+class Validator:
+    def __init__(
+        self,
+        sources: dict[str, str],
+        entry: str = "main.sml",
+        input_schema=None,
+        extra_udf_returns: Optional[dict[str, VType]] = None,
+    ):
+        self.sources = sources
+        self.entry = entry
+        self.entries: list[ValidationEntry] = []
+        self.roots: dict[str, g.Root] = {}
+        self.udf_returns = dict(_UDF_RETURNS)
+        if extra_udf_returns:
+            self.udf_returns.update(extra_udf_returns)
+        # name -> (span, VType, file)
+        self.decls: dict[str, tuple[g.Span, VType, str]] = {}
+        self.local_decls: dict[str, dict[str, tuple[g.Span, VType]]] = {}
+        self._narrowed: dict[str, VType] = {}
+
+    # -- entry points ---------------------------------------------------------
+
+    def run(self) -> list[ValidationEntry]:
+        for path, text in self.sources.items():
+            try:
+                self.roots[path] = parser.parse_source(text, path)
+            except Exception as e:  # parse error → single entry
+                self._error(str(e), g.Span(path, 1, 0))
+                return self.entries
+        self._collect_names()
+        self._check_defined()
+        for path in self.roots:
+            self._check_types(path)
+        return self.entries
+
+    def _error(self, message: str, span: g.Span, hint: str = "", extra=None, extra_msg: str = "") -> None:
+        self.entries.append(
+            ValidationEntry("error", message, span, hint, extra_msg, extra or [])
+        )
+
+    def _warn(self, message: str, span: g.Span, hint: str = "", extra=None) -> None:
+        self.entries.append(ValidationEntry("warning", message, span, hint, "", extra or []))
+
+    # -- pass 1: unique stored names (unique_stored_names.py:25-70) ------------
+
+    def _collect_names(self) -> None:
+        globals_seen: dict[str, list[g.Span]] = {}
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                if not isinstance(stmt, g.Assign):
+                    continue
+                name = stmt.target.identifier
+                vt = self._declared_type(stmt)
+                if stmt.target.is_local:
+                    per_file = self.local_decls.setdefault(path, {})
+                    if name in per_file:
+                        self._error(
+                            "local names must be unique within a rule file",
+                            per_file[name][0],
+                            hint="this local is defined in multiple locations",
+                            extra=[SpanWithHint(stmt.target.span, "")],
+                            extra_msg="such as:",
+                        )
+                    else:
+                        per_file[name] = (stmt.target.span, vt)
+                else:
+                    globals_seen.setdefault(name, []).append(stmt.target.span)
+                    if name not in self.decls:
+                        self.decls[name] = (stmt.target.span, vt, path)
+        for name, spans in globals_seen.items():
+            if len(spans) > 1:
+                first, *rest = spans
+                self._error(
+                    "features must be unique across all rule files",
+                    first,
+                    hint="this feature is defined in multiple locations",
+                    extra=[SpanWithHint(s, "") for s in rest],
+                    extra_msg="such as:",
+                )
+
+    def _declared_type(self, stmt: g.Assign) -> VType:
+        if stmt.annotation is not None:
+            return self._ann_vtype(stmt.annotation)
+        return V_ANY  # refined during type checking
+
+    def _ann_vtype(self, ann: g.TypeAnn) -> VType:
+        if ann.base == "Optional":
+            inner = self._ann_vtype(ann.param) if ann.param else V_ANY
+            return VType(inner.t, optional=True)
+        if ann.base in ("Secret", "ExtractSecret"):
+            return self._ann_vtype(ann.param) if ann.param else V_ANY
+        param = self._ann_vtype(ann.param).t if ann.param else None
+        return VType(st.from_annotation(ann.base, param))
+
+    # -- pass 2: variables must be defined (variables_must_be_defined.py) ------
+
+    def _visible_names(self, path: str) -> set[str]:
+        """Names visible in ``path``: its own stores plus stores of every
+        file it Imports/Requires (transitively)."""
+        seen_files: set[str] = set()
+        names: set[str] = set()
+
+        def visit(p: str) -> None:
+            if p in seen_files or p not in self.roots:
+                return
+            seen_files.add(p)
+            root = self.roots[p]
+            for stmt in root.statements:
+                if isinstance(stmt, g.Assign):
+                    names.add(stmt.target.identifier)
+                elif isinstance(stmt, g.ExprStatement):
+                    for target in self._imported_paths(stmt.call):
+                        visit(target)
+
+        visit(path)
+        return names
+
+    def _imported_paths(self, call: g.Call) -> list[str]:
+        if call.func == "Import" and isinstance(call.kwargs.get("rules"), g.ListLiteral):
+            return [
+                i.value
+                for i in call.kwargs["rules"].items
+                if isinstance(i, g.String)
+            ]
+        if call.func == "Require":
+            rule = call.kwargs.get("rule")
+            if isinstance(rule, g.String):
+                return [rule.value]
+            if isinstance(rule, g.FormatString):
+                glob_path = rule.format_string.format(
+                    **{n.identifier: "*" for n in rule.names}
+                )
+                return [p for p in self.sources if fnmatch.fnmatch(p, glob_path)]
+        return []
+
+    def _check_defined(self) -> None:
+        for path, root in self.roots.items():
+            visible = self._visible_names(path) | set(
+                self.local_decls.get(path, {})
+            )
+            defined_so_far: set[str] = set()
+            for stmt in root.statements:
+                for name_node in _loads_of(stmt):
+                    ident = name_node.identifier
+                    if ident in visible:
+                        continue
+                    if ident in self.decls:  # exists, but not imported here
+                        self._error(
+                            "unknown identifier",
+                            name_node.span,
+                            hint="this identifier was not imported into this file",
+                            extra=[SpanWithHint(self.decls[ident][0], "")],
+                            extra_msg="however, it was found here:",
+                        )
+                        continue
+                    closest = _closest(ident, visible | defined_so_far) or _closest(
+                        ident, self.decls.keys()
+                    )
+                    hint = f"perhaps you meant `{closest}`?" if closest else "this identifier is not defined"
+                    self._error("unknown identifier", name_node.span, hint=hint)
+                if isinstance(stmt, g.Assign):
+                    defined_so_far.add(stmt.target.identifier)
+
+    # -- pass 3: static types (validate_static_types.py) -----------------------
+
+    def _check_types(self, path: str) -> None:
+        self._narrowed = {}
+        for stmt in self.roots[path].statements:
+            if isinstance(stmt, g.Assign):
+                vt = self._type_of(stmt.value, ann=stmt.annotation)
+                if stmt.annotation is None and not stmt.target.is_local:
+                    # record the inferred type for cross-feature checks
+                    old = self.decls.get(stmt.target.identifier)
+                    if old is not None and old[1].t.base == "any":
+                        self.decls[stmt.target.identifier] = (old[0], vt, old[2])
+                elif stmt.target.is_local and stmt.annotation is None:
+                    per_file = self.local_decls.setdefault(path, {})
+                    ent = per_file.get(stmt.target.identifier)
+                    if ent is not None and ent[1].t.base == "any":
+                        per_file[stmt.target.identifier] = (ent[0], vt)
+            elif isinstance(stmt, g.ExprStatement):
+                self._type_of(stmt.call)
+
+    def _lookup(self, name: g.Name, path: str) -> VType:
+        if name.identifier in self._narrowed:
+            return self._narrowed[name.identifier]
+        ent = self.local_decls.get(path, {}).get(name.identifier)
+        if ent is not None:
+            return ent[1]
+        ent2 = self.decls.get(name.identifier)
+        return ent2[1] if ent2 is not None else V_ANY
+
+    def _name_def_span(self, node: g.Node) -> list[SpanWithHint]:
+        if isinstance(node, g.Name) and node.identifier in self.decls:
+            span, vt, _ = self.decls[node.identifier]
+            return [
+                SpanWithHint(
+                    span,
+                    f"variable `{node.identifier}` with incompatible type "
+                    f"{vt.display()} originally defined here",
+                )
+            ]
+        return []
+
+    def _type_of(self, node: g.Node, ann: Optional[g.TypeAnn] = None) -> VType:
+        if isinstance(node, g.Name):
+            return self._lookup(node, node.span.source)
+        if isinstance(node, g.String):
+            return V_STR
+        if isinstance(node, g.Number):
+            return V_INT if isinstance(node.value, int) else V_FLOAT
+        if isinstance(node, g.Boolean):
+            return V_BOOL
+        if isinstance(node, g.NoneLiteral):
+            return V_NONE
+        if isinstance(node, g.ListLiteral):
+            item_ts = [self._type_of(i) for i in node.items]
+            non_any = [t for t in item_ts if t.t.base not in ("any", "none")]
+            inner = non_any[0].t if non_any else st.ANY
+            return VType(st.list_of(inner))
+        if isinstance(node, g.FormatString):
+            return self._type_fstring(node)
+        if isinstance(node, g.BinaryOp):
+            return self._type_binop(node)
+        if isinstance(node, g.Compare):
+            return self._type_compare(node)
+        if isinstance(node, g.BoolOp):
+            return self._type_boolop(node)
+        if isinstance(node, g.UnaryOp):
+            return self._type_unary(node)
+        if isinstance(node, g.Call):
+            return self._type_call(node, ann)
+        return V_ANY
+
+    def _type_call(self, call: g.Call, ann: Optional[g.TypeAnn]) -> VType:
+        for v in call.kwargs.values():
+            if isinstance(v, g.ListLiteral):
+                for i in v.items:
+                    self._type_of(i)
+            else:
+                self._type_of(v)
+        ret = self.udf_returns.get(call.func)
+        if ret == "ann":
+            return self._ann_vtype(ann) if ann is not None else V_ANY
+        if isinstance(ret, VType):
+            return ret
+        return V_ANY
+
+    def _type_fstring(self, node: g.FormatString) -> VType:
+        # validate_static_types.py:706-726: substitutions must be
+        # int/float/bool/str (non-Optional)
+        for name in node.names:
+            vt = self._type_of(name)
+            if not _is_compat(vt, ("int", "float", "bool", "str")):
+                self._error(
+                    "unsupported type for f-string substitution",
+                    name.span,
+                    hint=f"has type {vt.display()}, expected one of `int`, `float`, `bool`, `str`",
+                    extra=self._name_def_span(name),
+                )
+        return V_STR
+
+    def _type_binop(self, node: g.BinaryOp) -> VType:
+        lt = self._type_of(node.left)
+        rt = self._type_of(node.right)
+        transitions = _BINOP_TRANSITIONS[node.op]
+        for lbases, rbases, result in transitions:
+            if _is_compat(lt, lbases) and _is_compat(rt, rbases):
+                if lt.t.base == "any" and rt.t.base == "any":
+                    return V_ANY
+                return _RESULT_T[result]
+        self._error(
+            f"unsupported operand types for `{node.op}`",
+            node.span,
+            hint=f"no implementation for `{lt.display_bare()} {node.op} {rt.display_bare()}`",
+            extra=[
+                SpanWithHint(node.left.span, f"has type {lt.display()}"),
+                *self._name_def_span(node.left),
+                SpanWithHint(node.right.span, f"has type {rt.display()}"),
+                *self._name_def_span(node.right),
+            ],
+        )
+        return V_ANY
+
+    def _type_compare(self, node: g.Compare) -> VType:
+        lt = self._type_of(node.left)
+        rt = self._type_of(node.right)
+        op = node.op
+        if op in ("==", "!="):
+            # validate_static_types.py:537-603
+            is_comparing_none = lt.t.base == "none" or rt.t.base == "none"
+            invalid_none = is_comparing_none and not (
+                lt.optional or rt.optional or (lt.t.base == "none" and rt.t.base == "none")
+            )
+            if invalid_none:
+                side, svt = (
+                    (node.left, lt) if lt.t.base != "none" else (node.right, rt)
+                )
+                if svt.t.base != "any":
+                    self._warn(
+                        f"type {svt.display()} incompatible with None",
+                        node.span,
+                        hint=f"has type {svt.display()}",
+                        extra=self._name_def_span(side),
+                    )
+            elif not is_comparing_none and not _eq_compat(lt, rt):
+                always = "False" if op == "==" else "True"
+                self._error(
+                    "left and right sides have incompatible types",
+                    node.span,
+                    hint=f"comparison will always result in `{always}`",
+                    extra=[
+                        SpanWithHint(node.left.span, f"has type {lt.display()}"),
+                        *self._name_def_span(node.left),
+                        SpanWithHint(node.right.span, f"has type {rt.display()}"),
+                        *self._name_def_span(node.right),
+                    ],
+                )
+            return V_BOOL
+        if op in ("in", "not in"):
+            # validate_static_types.py:610-652 + in_transitions
+            if rt.t.base == "list":
+                item = VType(rt.t.param or st.ANY)
+                if not _eq_compat(lt, item):
+                    always = "False" if op == "in" else "True"
+                    self._error(
+                        "item has incompatible type with list elements",
+                        node.span,
+                        hint=f"comparison will always result in `{always}`",
+                        extra=[
+                            SpanWithHint(node.left.span, f"has type {lt.display()}"),
+                            *self._name_def_span(node.left),
+                            SpanWithHint(node.right.span, f"list items have type {item.display()}"),
+                            *self._name_def_span(node.right),
+                        ],
+                    )
+                return V_BOOL
+            if _is_compat(lt, ("str",)) and _is_compat(rt, ("str",)):
+                return V_BOOL
+            self._error(
+                f"unsupported operand types for `{op}`",
+                node.span,
+                hint=f"no implementation for `{lt.display_bare()} {op} {rt.display_bare()}`",
+                extra=[
+                    SpanWithHint(node.left.span, f"has type {lt.display()}"),
+                    *self._name_def_span(node.left),
+                    SpanWithHint(node.right.span, f"has type {rt.display()}"),
+                    *self._name_def_span(node.right),
+                ],
+            )
+            return V_BOOL
+        # ordering: numbers only, Optional requires narrowing first
+        # ("Use type narrowing with a null check first: X != None and X >= 90")
+        ok = _is_compat(lt, NUM) and _is_compat(rt, NUM)
+        if not ok:
+            self._error(
+                f"unsupported operand types for `{op}`",
+                node.span,
+                hint=f"no implementation for `{lt.display_bare()} {op} {rt.display_bare()}`",
+                extra=[
+                    SpanWithHint(node.left.span, f"has type {lt.display()}"),
+                    *self._name_def_span(node.left),
+                    SpanWithHint(node.right.span, f"has type {rt.display()}"),
+                    *self._name_def_span(node.right),
+                ],
+            )
+        return V_BOOL
+
+    def _narrowing_from(self, expr: g.Node, boolop: str) -> dict[str, VType]:
+        """validate_static_types.py:488-536: in `and`, ``X != None``
+        narrows X to T; in `or`, ``X == None`` narrows X (subsequent
+        operands see the narrowed type)."""
+        if not isinstance(expr, g.Compare):
+            return {}
+        want = "!=" if boolop == "and" else "=="
+        if expr.op != want:
+            return {}
+        left_none = isinstance(expr.left, g.NoneLiteral)
+        right_none = isinstance(expr.right, g.NoneLiteral)
+        if left_none and isinstance(expr.right, g.Name):
+            name = expr.right
+        elif right_none and isinstance(expr.left, g.Name):
+            name = expr.left
+        else:
+            return {}
+        cur = self._lookup(name, name.span.source)
+        if cur.optional:
+            return {name.identifier: VType(cur.t, optional=False)}
+        return {}
+
+    def _type_boolop(self, node: g.BoolOp) -> VType:
+        # validate_static_types.py:663-699: operands must be bool;
+        # narrowing accumulates left-to-right
+        saved = dict(self._narrowed)
+        try:
+            for value in node.values:
+                vt = self._type_of(value)
+                if not _is_compat(vt, ("bool",)):
+                    self._error(
+                        f"unsupported operand type for `{node.op}`",
+                        value.span,
+                        hint=f"has type {vt.display()}, expected `bool`",
+                        extra=self._name_def_span(value),
+                    )
+                self._narrowed.update(self._narrowing_from(value, node.op))
+        finally:
+            self._narrowed = saved
+        return V_BOOL
+
+    def _type_unary(self, node: g.UnaryOp) -> VType:
+        vt = self._type_of(node.operand)
+        if node.op == "not":
+            if not _is_compat(vt, ("bool",)):
+                self._error(
+                    "`not` only works on `bool` types",
+                    node.span,
+                    hint="`not` should be used on `bool` types like `not (X == Y)`",
+                    extra=[
+                        SpanWithHint(node.operand.span, f"has type {vt.display()}"),
+                        *self._name_def_span(node.operand),
+                    ],
+                )
+            return V_BOOL
+        # unary -
+        if not _is_compat(vt, NUM):
+            self._error(
+                f"bad operand type for unary -: {vt.display()}",
+                node.span,
+                hint="unary `-` should be used on `int` types or `float` types like `-3`",
+                extra=[
+                    SpanWithHint(node.operand.span, f"has type {vt.display()}"),
+                    *self._name_def_span(node.operand),
+                ],
+            )
+        return vt
+
+
+def _loads_of(stmt: g.Node):
+    """All Name loads inside a statement (not the assignment target and
+    not f-string internals — those carry their own Name nodes)."""
+    out: list[g.Name] = []
+
+    def walk(n: g.Node) -> None:
+        if isinstance(n, g.Name):
+            out.append(n)
+        elif isinstance(n, g.FormatString):
+            out.extend(n.names)
+        elif isinstance(n, g.ListLiteral):
+            for i in n.items:
+                walk(i)
+        elif isinstance(n, g.BinaryOp):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, g.Compare):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, g.BoolOp):
+            for v in n.values:
+                walk(v)
+        elif isinstance(n, g.UnaryOp):
+            walk(n.operand)
+        elif isinstance(n, g.Call):
+            for v in n.kwargs.values():
+                walk(v)
+
+    if isinstance(stmt, g.Assign):
+        walk(stmt.value)
+    elif isinstance(stmt, g.ExprStatement):
+        walk(stmt.call)
+    return out
+
+
+def validate_sources(
+    sources: dict[str, str],
+    entry: str = "main.sml",
+    warning_as_error: bool = False,
+    extra_udf_returns: Optional[dict[str, VType]] = None,
+) -> list[ValidationEntry]:
+    """Run all validators; raise ValidationFailed on errors (and on
+    warnings when ``warning_as_error``). Returns the entries (warnings)
+    otherwise — the reference's validate_sources contract."""
+    entries = Validator(sources, entry, extra_udf_returns=extra_udf_returns).run()
+    bad = [e for e in entries if e.kind == "error" or warning_as_error]
+    if bad:
+        raise ValidationFailed(entries, sources)
+    return entries
+
+
+def render_all(entries: list[ValidationEntry], sources: dict[str, str]) -> str:
+    return "\n\n".join(render_entry(e, sources) for e in entries)

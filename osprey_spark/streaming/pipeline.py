@@ -46,6 +46,19 @@ TRANSCRIPT_SCHEMA = (
 )
 
 
+def sample_rate_col(action_name_col: str, rates: Optional[dict[str, float]]) -> F.Column:
+    """Per-action-name sample rate (reference ActionSampler config +
+    the __sample_rate dunder, executor.py:393-401): a when-chain over the
+    action name, default 1.0."""
+    if not rates:
+        return F.lit(1.0)
+    expr = None
+    for name, rate in rates.items():
+        cond = F.col(action_name_col) == name
+        expr = F.when(cond, F.lit(rate)) if expr is None else expr.when(cond, F.lit(rate))
+    return expr.otherwise(F.lit(1.0))
+
+
 class RuleStreamPipeline:
     def __init__(
         self,
@@ -65,7 +78,15 @@ class RuleStreamPipeline:
         salt_buckets: int = 0,
         extra_sinks: Optional[list[Callable[[DataFrame, int], None]]] = None,
         console: bool = False,
+        validate: bool = True,
     ):
+        if validate:
+            # the rule-authoring surface rejects what the reference's
+            # ast_validator rejects (typed errors with source spans)
+            # before any Spark plan is built
+            from osprey_spark.sml.validators import validate_sources
+
+            validate_sources(sources)
         self.spark = spark
         self.workdir = workdir
         self.watermark = watermark
@@ -110,15 +131,7 @@ class RuleStreamPipeline:
         be re-weighted by 1/rate."""
         if not self.sample_rates:
             return df
-        rate_expr = None
-        for name, rate in self.sample_rates.items():
-            cond = F.col(self.action_name_col) == name
-            rate_expr = (
-                F.when(cond, F.lit(rate))
-                if rate_expr is None
-                else rate_expr.when(cond, F.lit(rate))
-            )
-        rate_expr = rate_expr.otherwise(F.lit(1.0)) if rate_expr is not None else F.lit(1.0)
+        rate_expr = sample_rate_col(self.action_name_col, self.sample_rates)
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(10000))
         return df.filter(bucket < rate_expr * 10000).withColumn(
             "__sample_rate", rate_expr
