@@ -1,0 +1,111 @@
+"""Stateful streaming escalation sessions.
+
+The streaming counterpart of ``operators.sessions.escalation_sessions``
+(multi-turn escalation rules over gap-based sessions — the north-star's
+"flatMapGroupsWithState-style session state"): per-conversation keyed
+state tracks the open session (start, last event time, turn and trigger
+counts); when the trigger count reaches ``min_triggers`` the escalation
+row is emitted IMMEDIATELY (append mode, once per session) rather than
+at session close — a safety pipeline wants the alert at the crossing
+turn, not minutes later when the session gap elapses.
+
+Sessions split on event-time gaps > ``gap_seconds``. State for idle
+conversations is evicted by an event-time timeout driven by the stream's
+watermark (set ``withWatermark`` upstream), so lifetime state is bounded
+by the number of conversations active inside one watermark horizon —
+the property that keeps this runnable against a 10^12-turn stream.
+
+The trigger predicate is evaluated JVM-side into a boolean column before
+the stateful operator, so the Arrow payload per turn is (key, ts,
+is_trigger) — no text crosses into Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "conv_id string, session_start timestamp, escalated_at timestamp, "
+    "n_turns long, n_triggers long"
+)
+STATE_SCHEMA = (
+    "session_start double, last_ts double, n_turns long, n_triggers long, "
+    "emitted boolean"
+)
+
+
+def _make_escalation_fn(gap_seconds: float, min_triggers: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "session_start", "escalated_at", "n_turns", "n_triggers"]
+        if state.hasTimedOut:
+            # idle past the watermark: the open session can never extend
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        if state.exists:
+            session_start, last_ts, n_turns, n_triggers, emitted = state.get
+        else:
+            session_start, last_ts, n_turns, n_triggers, emitted = 0.0, None, 0, 0, False
+
+        rows = []
+        for pdf in pdfs:
+            for ts, trig in sorted(
+                zip(pdf["ts"], pdf["is_trigger"]), key=lambda x: x[0]
+            ):
+                t = ts.timestamp()
+                if last_ts is None or t - last_ts > gap_seconds:
+                    # new session
+                    session_start, n_turns, n_triggers, emitted = t, 0, 0, False
+                last_ts = t
+                n_turns += 1
+                if bool(trig):
+                    n_triggers += 1
+                    if n_triggers == min_triggers and not emitted:
+                        emitted = True
+                        rows.append(
+                            (
+                                key[0],
+                                pd.Timestamp(session_start, unit="s"),
+                                pd.Timestamp(t, unit="s"),
+                                n_turns,
+                                n_triggers,
+                            )
+                        )
+
+        state.update((session_start, last_ts, n_turns, n_triggers, emitted))
+        # evict once the watermark passes the session gap
+        state.setTimeoutTimestamp(int((last_ts + gap_seconds) * 1000))
+        yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def streaming_escalation_sessions(
+    stream: DataFrame,
+    trigger: Column,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    min_triggers: int = 2,
+) -> DataFrame:
+    """Attach to a (streaming) DataFrame of turns; emits one row per
+    session the moment its trigger count reaches ``min_triggers``."""
+    prepared = stream.select(
+        F.col(key).alias("conv_id"),
+        F.col(ts_col).alias("ts"),
+        F.coalesce(trigger.cast("boolean"), F.lit(False)).alias("is_trigger"),
+    )
+    return prepared.groupBy("conv_id").applyInPandasWithState(
+        _make_escalation_fn(gap_seconds, min_triggers),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

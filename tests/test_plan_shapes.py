@@ -1,0 +1,79 @@
+"""Physical-plan shape regression tests — the 100-TB guarantees that
+wall-clock tests on a noisy host cannot check:
+
+- filters and projections reach the parquet scan (PushedFilters),
+- the compiled rule plan is shuffle-free (one vectorized select),
+- no accidental cartesian products anywhere,
+- intended broadcasts stay broadcasts (kNN query side),
+- aggregations keep map-side partial aggregation.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_time_filters_push_down_to_scan(spark):
+    plan = _plan(spark, "timeseries_hourly")
+    assert "PushedFilters: [GreaterThanOrEqual(ts," in plan
+    assert "LessThan(ts," in plan
+
+
+def test_query_filter_pushes_predicates(spark):
+    plan = _plan(spark, "query_filter")
+    assert "GreaterThan(value,100.0)" in plan  # bounds reach the scan
+    assert "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_rule_eval_is_shuffle_free(spark):
+    """The whole compiled ruleset is ONE vectorized select: the only
+    Exchange is the test-harness repartition that spreads the single
+    parquet file across cores (at real scale maxPartitionBytes does
+    that); the rule plan itself must add none."""
+    plan = _plan(spark, "rule_eval")
+    assert plan.count("+- Exchange") + plan.count("   Exchange") <= 1 or (
+        plan.count("Exchange") - plan.count("ReusedExchange")
+    ) <= 2  # formatted mode lists each exchange twice (tree + details)
+    # no joins, no aggregations in the rule plan
+    for op in ("SortMergeJoin", "CartesianProduct", "HashAggregate"):
+        assert op not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rule_eval",
+        "timeseries_hourly",
+        "velocity_tumbling",
+        "sessionization",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "query_filter",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_knn_broadcasts_query_side(spark):
+    """knn_join must broadcast the (small) query side — a shuffled NL
+    join over the corpus would be the scale-killer."""
+    plan = _plan(spark, "sim_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_aggregations_keep_partial_agg(spark):
+    """Tumbling counts must partial-aggregate map-side (two HashAggregate
+    nodes around one Exchange), not ship raw rows."""
+    plan = _plan(spark, "velocity_tumbling")
+    assert plan.count("HashAggregate") >= 2

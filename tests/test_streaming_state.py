@@ -176,3 +176,60 @@ def test_sample_rate_feature(spark, tmp_path):
     n_user = res.filter("conv_id = 'a'").count()
     assert 0 < n_user < 50  # deterministically sampled down
     assert res.filter("conv_id = 'b'").count() == 50
+
+
+def test_streaming_escalation_sessions(spark, tmp_path):
+    """Streaming escalation: the alert fires the moment a session's
+    trigger count crosses the threshold (cross-batch state), once per
+    session; a later session in the same conversation can fire again."""
+    from pyspark.sql import functions as F
+
+    from osprey_spark.streaming.escalation_state import streaming_escalation_sessions
+
+    input_dir = str(tmp_path / "esc_in")
+    t = T0
+    m = datetime.timedelta(minutes=1)
+    # batch 1: conv a gets one error; conv b stays clean
+    rows1 = [
+        ("a", 0, "user", "x", "", t),
+        ("a", 1, "user", "err", "error", t + m),
+        ("b", 0, "user", "x", "", t),
+    ]
+    # batch 2: conv a's second error (same session) → escalation fires;
+    # plus a NEW session (2h later) that escalates independently
+    rows2 = [
+        ("a", 2, "user", "err", "error", t + 2 * m),
+        ("a", 3, "user", "err", "error", t + datetime.timedelta(hours=2)),
+        ("a", 4, "user", "err", "error", t + datetime.timedelta(hours=2) + m),
+    ]
+    spark.createDataFrame(rows1, TSCHEMA).coalesce(1).write.parquet(input_dir)
+    spark.createDataFrame(rows2, TSCHEMA).coalesce(1).write.mode("append").parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema(TSCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = streaming_escalation_sessions(
+        stream, trigger=F.col("tool") == "error", gap_seconds=1800, min_triggers=2
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("esc_out")
+        .option("checkpointLocation", str(tmp_path / "esc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        spark.sql("SELECT * FROM esc_out").collect(), key=lambda r: r["escalated_at"]
+    )
+    assert [(r["conv_id"], r["n_triggers"]) for r in got] == [("a", 2), ("a", 2)]
+    # first escalation: session started at t, fired at the 2nd error
+    assert got[0]["session_start"] == t
+    assert got[0]["escalated_at"] == t + 2 * m
+    assert got[0]["n_turns"] == 3
+    # second escalation belongs to the NEW session two hours later
+    assert got[1]["session_start"] == t + datetime.timedelta(hours=2)
