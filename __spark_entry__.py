@@ -738,6 +738,164 @@ SELECT true AS banding_complete, true AS within_hamming
 """
 
 
+def _event_fetch(spark, sf_dir):
+    """Console event view: full stored result for one event id — a point
+    lookup whose predicate pushes to the scan (plans/analytics.event_by_id)."""
+    from osprey_spark.plans import event_by_id
+
+    return event_by_id(_events(spark, sf_dir), 500, id_col="event_id").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+_EVENT_FETCH_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id = 500
+"""
+
+
+def _entity_activity(spark, sf_dir):
+    """Console per-entity activity view: event counts by feature for one
+    entity (plans/analytics.event_counts_by_feature)."""
+    from osprey_spark.plans import event_counts_by_feature
+
+    return event_counts_by_feature(
+        _events(spark, sf_dir), "event_type", "user_id", 7, START, END, ts_col="ts"
+    )
+
+
+_ENTITY_ACTIVITY_ORACLE = """
+SELECT event_type, count(*) AS n FROM events
+WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'
+GROUP BY 1
+"""
+
+
+def _entity_labels_view(spark, sf_dir):
+    """Console per-entity label summary over the same seeded label state
+    as haslabel_reputation, for the lowest-id errored user (deterministic
+    at every sf)."""
+    from osprey_spark.plans import entity_label_summary
+
+    df = _events(spark, sf_dir)
+    label_state = (
+        df.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").cast("string").alias("entity_id"))
+        .agg(F.min("ts").alias("created_at"))
+        .select(
+            F.lit("User").alias("entity_type"),
+            "entity_id",
+            F.lit("errored").alias("label_name"),
+            F.lit(1).alias("status"),
+            "created_at",
+            (F.col("created_at") + F.expr("INTERVAL 14 DAYS")).alias("expires_ts"),
+        )
+    )
+    uid = (
+        df.filter(F.col("event_type") == "error")
+        .agg(F.min("user_id"))
+        .first()[0]
+    )
+    return entity_label_summary(label_state, "User", str(uid))
+
+
+_ENTITY_LABELS_ORACLE = """
+WITH first_err AS (
+  SELECT CAST(user_id AS VARCHAR) AS entity_id, min(ts) AS created_at
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT 'errored' AS label_name, 1 AS status, created_at,
+       created_at + INTERVAL 14 DAY AS expires_ts
+FROM first_err
+WHERE entity_id = (
+  SELECT CAST(min(user_id) AS VARCHAR) FROM events WHERE event_type = 'error'
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal: binary payload columns, mapInPandas feature extraction
+# --------------------------------------------------------------------------
+
+_MM_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+def _media_table(spark, sf_dir):
+    """Media table over the documents corpus: each doc's UTF-8 bytes are
+    the opaque binary payload (the real-decoder swap point is
+    multimodal._decode_impl; the deterministic sha256 fake makes the
+    whole pipeline — binary columns, Arrow batches, typed features —
+    oracle-checkable)."""
+    d = _documents(spark, sf_dir)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.concat(kind, F.lit("/fake")).alias("mime"),
+        F.create_map(F.lit("src"), F.lit("documents")).alias("meta"),
+    )
+
+
+def _multimodal_features(spark, sf_dir):
+    from osprey_spark.operators.multimodal import extract_media_features
+
+    out = extract_media_features(_media_table(spark, sf_dir))
+    # -1 sentinel for kind-inapplicable dims: DuckDB's pandas bridge
+    # renders NULL ints as NaN, which the driver's comparator would
+    # normalize differently from Spark's None
+    return out.select(
+        "media_id",
+        "kind",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        "n_frames",
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        "feature_hash",
+    )
+
+
+_MM_H = "sha256(text)"  # DuckDB sha256(VARCHAR) hashes the UTF-8 bytes
+_MM_BYTE = lambda i: f"CAST(('0x' || substr({_MM_H}, {2 * i + 1}, 2)) AS INT)"  # noqa: E731
+
+_MULTIMODAL_ORACLE = f"""
+SELECT doc_id AS media_id,
+       {_MM_KIND_SQL} AS kind,
+       CASE WHEN doc_id % 3 IN (0, 2) THEN 64 + {_MM_BYTE(0)} % 192 ELSE -1 END AS width,
+       CASE WHEN doc_id % 3 IN (0, 2) THEN 64 + {_MM_BYTE(1)} % 192 ELSE -1 END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + {_MM_BYTE(2)} % 300 END AS n_frames,
+       CASE WHEN doc_id % 3 <> 0
+            THEN 1000 + CAST(('0x' || substr({_MM_H}, 7, 4)) AS BIGINT)
+            ELSE -1 END AS duration_ms,
+       substr({_MM_H}, 1, 16) AS feature_hash
+FROM documents
+"""
+
+
+def _multimodal_frames(spark, sf_dir):
+    from osprey_spark.operators.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_media_table(spark, sf_dir), every_n=10)
+
+
+_MULTIMODAL_FRAMES_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id AS media_id,
+         1 + {_MM_BYTE(2)} % 300 AS n_frames,
+         substr({_MM_H}, 1, 16) AS feature_hash
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS frame_idx,
+       feature_hash
+FROM v
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -905,6 +1063,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": _session_window_agg,
         "escalation_sessions": _escalation,
         "cep_ordered_pattern": _cep,
+        "event_fetch": _event_fetch,
+        "entity_activity": _entity_activity,
+        "entity_labels_view": _entity_labels_view,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frame_sample": _multimodal_frames,
         "dedup_exact": _exact_dedup,
         "dedup_ngram_jaccard": _ngram_pairs,
         "dedup_minhash_lsh": _minhash_pairs,
@@ -938,6 +1101,11 @@ def oracle_sql() -> dict[str, str]:
         "session_window_agg": _SESSION_WINDOW_ORACLE,
         "escalation_sessions": _ESCALATION_ORACLE,
         "cep_ordered_pattern": _CEP_ORACLE,
+        "event_fetch": _EVENT_FETCH_ORACLE,
+        "entity_activity": _ENTITY_ACTIVITY_ORACLE,
+        "entity_labels_view": _ENTITY_LABELS_ORACLE,
+        "multimodal_features": _MULTIMODAL_ORACLE,
+        "multimodal_frame_sample": _MULTIMODAL_FRAMES_ORACLE,
         "dedup_exact": _EXACT_DEDUP_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_PAIRS_ORACLE,
         "dedup_minhash_lsh": _MINHASH_PAIRS_ORACLE,

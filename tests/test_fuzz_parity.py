@@ -36,6 +36,8 @@ _CMP_OPS = ["==", "!=", "<", "<=", ">", ">="]
 def _num_expr(rng: random.Random, depth: int) -> str:
     if depth <= 0 or rng.random() < 0.4:
         return rng.choice(_INT_LEAVES)
+    if rng.random() < 0.1:
+        return f"(-{_num_expr(rng, depth - 1)})"
     op = rng.choice(_NUM_OPS)
     return f"({_num_expr(rng, depth - 1)} {op} {_num_expr(rng, depth - 1)})"
 
@@ -52,6 +54,9 @@ def _bool_expr(rng: random.Random, depth: int) -> str:
         return f"({_num_expr(rng, depth - 1)} {rng.choice(_CMP_OPS)} {_num_expr(rng, depth - 1)})"
     if kind < 0.65:
         return f"({_str_expr(rng, depth - 1)} {rng.choice(['==', '!='])} {_str_expr(rng, depth - 1)})"
+    if kind < 0.70:
+        items = ", ".join(rng.choice(_INT_LEAVES) for _ in range(rng.randint(1, 4)))
+        return f"({rng.choice(['A', 'B'])} {rng.choice(['in', 'not in'])} [{items}])"
     if kind < 0.75:
         return f"({_str_expr(rng, depth - 1)} in {_str_expr(rng, depth - 1)})"
     if depth <= 0:
@@ -73,10 +78,14 @@ def _make_ruleset(seed: int, n_exprs: int = 60) -> dict[str, str]:
     ]
     for i in range(n_exprs):
         pick = rng.random()
-        if pick < 0.45:
+        if pick < 0.42:
             lines.append(f"N{i} = {_num_expr(rng, 3)}")
-        elif pick < 0.6:
+        elif pick < 0.55:
             lines.append(f"Q{i} = {_str_expr(rng, 2)}")
+        elif pick < 0.62:
+            names = rng.sample(["A", "B", "S", "T_"], rng.randint(1, 3))
+            inner = " ".join("{" + n + "}" for n in names)
+            lines.append(f"F{i} = f'v {inner} end'")
         else:
             lines.append(f"P{i} = {_bool_expr(rng, 3)}")
     return {"main.sml": "\n".join(lines)}
