@@ -1,13 +1,19 @@
 """Text-normalization pandas UDFs (Arrow-batched).
 
 ``StringClean`` mirrors the reference's normalization pipeline
-(stdlib/udfs/string.py:188-413) stage-for-stage: emoji strip → whitespace
-collapse → l33t digit folding → homoglyph translation → unicode
-normalization → case folding → space/punctuation removal. The
-reference's ~1500-entry homoglyph table and the ``anyascii`` dependency
-are approximated here with NFKD-based diacritic stripping plus a compact
-hand-written confusables table (documented divergence; the stage order
-and flag semantics are identical).
+(stdlib/udfs/string.py:188-413) stage-for-stage: emoji-lookalike rescue +
+emoji strip → whitespace collapse → l33t digit folding → homoglyph
+translation → unicode normalization → case folding → space/punctuation
+removal. The homoglyph table is GENERATED from the stdlib's Unicode
+compatibility data (every codepoint whose NFKC form is one ascii letter:
+mathematical alphanumerics, fullwidth, circled/parenthesized/squared
+blocks) plus explicit no-decomposition blocks (regional indicators,
+negative circled/squared) and curated cross-script visual confusables —
+equivalent coverage to the reference's ~1500-entry hand table without
+copying it; digits and ascii letters are excluded as glyph keys exactly
+as the reference's table builder does (string.py:327-341). The
+``anyascii`` transliteration dependency is approximated with NFKD-based
+diacritic stripping (documented divergence for non-Latin scripts).
 
 ``StringExtractDomains`` / ``StringExtractURLs``
 (string.py:425-483) re-implement the token-regex + urlparse pipeline;
@@ -46,15 +52,67 @@ _EMOJI_RE = re.compile(
 _L33T_PIPE_NUM_RE = re.compile(r"\|(\d)")
 _L33T_THREES_RE = re.compile(r"([a-zA-Z]*)(3+)([a-zA-Z]*)")
 
-# compact confusables map (subset of the reference's homoglyph tables)
-_CONFUSABLES = str.maketrans(
-    {
-        # ascii lookalikes (reference _HOMOGLYPHS: '1I|'→l, '0'→o, '@'→a)
-        "0": "o", "1": "l", "|": "l", "$": "s", "@": "a",
-        "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "х": "x",  # cyrillic
-        "ı": "i", "ℓ": "l", "ℹ": "i",
-    }
-)
+# Cross-script visual confusables (Cyrillic/Greek/CJK/symbol lookalikes)
+# that NO Unicode normalization maps — curated from general visual
+# similarity, NOT copied from the reference's tables.
+_CROSS_SCRIPT: list[tuple[str, str]] = [
+    ("аА⍺∀ª@", "a"), ("ЬьВвβ฿", "b"), ("сСϲ¢©∁⊂", "c"), ("ძ∂ⅅⅆ", "d"),
+    ("еЕεЄ€∃∈⋿", "e"), ("ϝ⨍", "f"), ("ց₲", "g"), ("нНΗℏ", "h"),
+    ("іІїιϊ˛⍳", "i"), ("јЈϳ⌡", "j"), ("кКκϏ₭", "k"), ("₤∟ℓ∣|￨", "l"),
+    ("мМ⋔₥", "m"), ("ΠπηΝ∏∩刀", "n"), ("оОοσ☉⦿", "o"), ("рРΡρ⍴₱℗", "p"),
+    ("ԛգҩ", "q"), ("Я®", "r"), ("ѕЅ$∫", "s"), ("тТτ⊺⟙♰♱", "t"),
+    ("μυц∪⋃∐⨃", "u"), ("ν∨⋁√", "v"), ("ωѡ₩⨈", "w"),
+    ("хХχ×╳⤫⤬⨯☓✗", "x"), ("уУγ¥ӱ⑂ℽ", "y"), ("ꙀՀℤℨ", "z"),
+]
+
+
+def _build_confusables() -> dict[int, int]:
+    """Homoglyph → ascii-letter translation, GENERATED from the stdlib's
+    Unicode compatibility data instead of a hand-copied table: every
+    codepoint whose NFKC form is a single ascii letter (optionally inside
+    parentheses — the ⒜-style enclosed forms) is a stylized letter —
+    this mechanically covers the mathematical alphanumerics, fullwidth,
+    circled, parenthesized and squared blocks (the bulk of the
+    reference's ~1500-entry table, string.py:244-341). Regional
+    indicators (🇦-🇿, no NFKC decomposition) and cross-script visual
+    confusables are added on top. Digits and plain ascii letters are
+    excluded as glyph KEYS, matching the reference's table construction
+    (contextual digit folds like 3→e belong to the l33t stage)."""
+    ascii_lower = set("abcdefghijklmnopqrstuvwxyz")
+    table: dict[int, int] = {}
+    for cp in range(0x80, 0x1FB00):
+        ch = chr(cp)
+        if unicodedata.category(ch) in ("Cn", "Cs", "Co", "Cc"):
+            continue
+        d = unicodedata.normalize("NFKC", ch).lower()
+        target = None
+        if len(d) == 1 and d in ascii_lower:
+            target = d
+        else:
+            stripped = d.strip("(),. ")
+            if len(stripped) == 1 and stripped in ascii_lower:
+                target = stripped
+        if target is not None and ch.lower() != target:
+            table[cp] = ord(target)
+    # blocks with NO compatibility decomposition: regional indicators,
+    # negative-circled (🅐) and negative-squared (🅰) latin letters
+    for base in (0x1F1E6, 0x1F150, 0x1F170):
+        for i in range(26):
+            table[base + i] = ord("a") + i
+    for glyphs, letter in _CROSS_SCRIPT:
+        for g in glyphs:
+            if not (g.isdigit() or g.isascii() and g.isalpha()):
+                table.setdefault(ord(g), ord(letter))
+    return table
+
+
+_CONFUSABLES_ALL = _build_confusables()
+# emoji-range lookalikes translate BEFORE the emoji strip (reference
+# remove_emoji stage, string.py:362-368); the rest in the homoglyph stage
+_CONFUSABLES_EMOJI = {
+    cp: t for cp, t in _CONFUSABLES_ALL.items() if _EMOJI_RE.match(chr(cp))
+}
+_CONFUSABLES = _CONFUSABLES_ALL
 
 
 def _sub_threes(m: re.Match) -> str:
@@ -76,6 +134,8 @@ def _clean_one(
     remove_punctuation: bool,
 ) -> str:
     if remove_emoji:
+        if homoglyph:
+            s = s.translate(_CONFUSABLES_EMOJI)  # rescue lookalikes first
         s = _EMOJI_RE.sub(" ", s)
     if space:
         s = _SPACE_RE.sub(" ", s)

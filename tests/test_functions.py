@@ -75,11 +75,52 @@ NoPunct = StringClean(s=S, remove_punctuation=True, lower=True)
 NoSpace = StringClean(s=S, remove_space=True)
 """
     rows = _run(spark, src, ["He3llo   W0rld!", "café  X"])
-    # l33t: 3→e, 0→o (homoglyph); whitespace collapsed; lowered
-    assert rows[0]["Cleaned"] == "heello world!"
-    assert rows[0]["NoPunct"] == "heello world"
-    assert rows[0]["NoSpace"] == "Heello" + "World!"
+    # l33t: 3→e; digits are NOT homoglyph-folded ('0' stays — reference
+    # string.py:327-341 excludes digits/ascii letters from the table);
+    # whitespace collapsed; lowered
+    assert rows[0]["Cleaned"] == "heello w0rld!"
+    assert rows[0]["NoPunct"] == "heello w0rld"
+    assert rows[0]["NoSpace"] == "Heello" + "W0rld!"
     assert rows[1]["Cleaned"].startswith("caf")
+
+
+def test_string_clean_reference_vectors(spark):
+    """Normalization scenarios ported from the reference's own suite
+    (stdlib/udfs/tests/test_strings.py:218-250): l33t folds, math
+    alphanumerics, CJK/Greek/symbol homoglyphs, enclosed/circled/squared/
+    negative/regional letter blocks."""
+    src = """
+S: str = JsonData(path='$.s')
+C = StringClean(s=S, l33t=True, homoglyph=True, space=True,
+                unicode_normalize=True, remove_emoji=True,
+                remove_punctuation=True, lower=True)
+"""
+    cases = [
+        ("🔞t3xt", "text"),
+        ("∏opq", "nopq"),
+        ("dat@ 2334", "data 2334"),
+        ("t3xt |00-", "100"),
+        ("𝐓𝐄𝐗𝐓", "text"),
+        ("𝚃𝙴𝚇𝚃", "text"),
+        ("tex刀", "texn"),
+        ("te×ts", "texts"),
+        ("texη", "texn"),
+        ("plaϲeholder", "placeholder"),
+        ("EXAMΡLE", "example"),
+        ("ｄｒｏｉｄ", "droid"),
+        ("🅳🆁🅾🅸🅳", "droid"),
+        ("⒜,⒝,⒞,⒟", "a,b,c,d"),
+        ("Ⓐ,Ⓑ,Ⓒ", "a,b,c"),
+        ("🄰,🄱,🄲", "a,b,c"),
+        ("🅐,🅑,🅒", "a,b,c"),
+        ("🇦,🇧,🇨", "a,b,c"),
+    ]
+    rows = _run(spark, src, [s for s, _ in cases])
+    for (s, expected), row in zip(cases, rows):
+        got = row["C"]
+        # commas are punctuation-stripped; compare letter content
+        assert expected.replace(",", "") in got.replace(",", ""), (s, got)
+        assert "|" not in got
 
 
 def test_extract_urls_and_domains(spark):
