@@ -475,7 +475,39 @@ class Validator:
             return self._type_call(node, ann)
         return V_ANY
 
+    # stdlib names the validator accepts without a return-type entry
+    _KNOWN_UDFS = frozenset(
+        {
+            "Import", "Require", "JsonData", "EntityJson", "Entity", "Rule",
+            "WhenRules", "DeclareVerdict", "LabelAdd", "LabelRemove", "HasLabel",
+            "BanUser", "TextContains", "RegexMatch", "RegexMatchMap",
+            "CountRegexMatches", "GetActionName", "GetActionId", "TimeDelta",
+            "TimeSince", "GetTimedeltaBucket", "GetTimestampBucket",
+            "GetSnowflakeBucket", "StringLength", "StringToLower", "StringToUpper",
+            "StringStartsWith", "StringEndsWith", "StringStrip", "StringLStrip",
+            "StringRStrip", "StringReplace", "StringJoin", "StringSplit",
+            "StringSlice", "StringClean", "StringExtractDomains",
+            "StringExtractURLs", "Base64Encode", "Base64Decode", "HashMd5",
+            "HashSha1", "HashSha256", "HashSha512", "ParseInt", "IpNetwork",
+            "EmailDomain", "EmailSubdomain", "EmailLocalPart", "DomainTld",
+            "DomainChopper", "PhoneCountry", "PhonePrefix", "ExtractCookie",
+            "MXLookup", "RandomBool", "RandomInt", "Experiment", "ExperimentWhen",
+            "ResolveOptional", "ListLength", "ListRead", "ListSort",
+        }
+    )
+
     def _type_call(self, call: g.Call, ann: Optional[g.TypeAnn]) -> VType:
+        if call.func not in self._KNOWN_UDFS and call.func not in self.udf_returns:
+            # unknown UDF name with a did-you-mean hint (the reference's
+            # ValidateCallKwargs rejects unregistered rvalues)
+            closest = _closest(
+                call.func, self._KNOWN_UDFS | set(self.udf_returns)
+            )
+            self._error(
+                f"unknown function `{call.func}`",
+                call.span,
+                hint=f"perhaps you meant `{closest}`?" if closest else "not a registered UDF",
+            )
         for v in call.kwargs.values():
             if isinstance(v, g.ListLiteral):
                 for i in v.items:

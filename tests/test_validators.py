@@ -265,3 +265,21 @@ def test_cross_feature_inferred_types():
     """)
     assert "unsupported operand types for `<`" in out
     assert "no implementation for `int < str`" in out
+
+
+def test_unknown_udf_did_you_mean():
+    out = _errors("""
+    X = JsonDta(path='$.x')
+    """)
+    assert "unknown function `JsonDta`" in out
+    assert "perhaps you meant `JsonData`?" in out
+
+
+def test_custom_udf_returns_accepted():
+    # extra_udf_returns registers plugin UDFs for validation
+    from osprey_spark.sml.validators import V_BOOL
+
+    validate_sources(
+        {"main.sml": "X = MyPluginCheck(a='1')\n"},
+        extra_udf_returns={"MyPluginCheck": V_BOOL},
+    )
