@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osprey_spark.streaming.state_store import HashPartitionedStateStore
@@ -85,19 +85,20 @@ class LabelStateStore:
         if "apply_at" not in mutations.columns:
             mutations = mutations.withColumn("apply_at", F.col("event_ts"))
         valid = mutations.filter((F.col("entity_id") != "") & (F.col("label_name") != ""))
-        # in-batch conflict resolution: higher status wins, then later event
-        w = Window.partitionBy(*KEY).orderBy(F.desc("status"), F.desc("event_ts"))
-        winners = (
-            valid.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                *KEY,
+        # in-batch conflict resolution: higher status wins, then later
+        # event — max_by over a lexicographic struct key: a hash
+        # aggregation with map-side partial combine, where a row_number
+        # window would sort every mutation inside each shuffle partition
+        win = F.max_by(
+            F.struct(
                 F.col("status").cast("int").alias("new_status"),
                 F.col("event_ts").alias("new_created_at"),
                 F.col("expires_ts").alias("new_expires_ts"),
                 F.col("apply_at").alias("new_apply_at"),
-            )
-        )
+            ),
+            F.struct(F.col("status"), F.col("event_ts")),
+        ).alias("_w")
+        winners = valid.groupBy(*KEY).agg(win).select(*KEY, "_w.*")
 
         def merge_fn(current: DataFrame, delta: DataFrame) -> DataFrame:
             merged = current.join(delta, on=KEY, how="full_outer")

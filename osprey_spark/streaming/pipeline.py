@@ -221,7 +221,12 @@ class RuleStreamPipeline:
             # PRIOR batches only (reads-before-writes ordering, matching
             # the reference's labels: output_sink.py:186-211)
             prior = self.prior_verdict_counts(before_batch=batch_id)
-            out = out.join(F.broadcast(prior), on=self.key_col, how="left").withColumn(
+            # broadcast only while verifiably small (same guard as
+            # HasLabel): a long-lived stream's verdict state can outgrow
+            # the driver's broadcast capacity — then AQE picks the join
+            if self.verdict_state.approx_size_bytes() < 32 * 1024 * 1024:
+                prior = F.broadcast(prior)
+            out = out.join(prior, on=self.key_col, how="left").withColumn(
                 "prior_verdict_count",
                 F.coalesce(F.col("prior_verdict_count"), F.lit(0)),
             )
