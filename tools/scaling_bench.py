@@ -133,27 +133,17 @@ def main() -> None:
     }
     print(json.dumps(summary, indent=2))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # append a run record — NEVER rewrite BENCH.md (it holds other
+    # sections: streaming, skew, headline; a "w" open here once clobbered
+    # them all)
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            "# BENCH — throughput + scaling evidence\n\n"
-            "Sustained rule-evaluation throughput of the compiled SML plan\n"
-            "(feature extraction + 3 rules + verdict/label effects) over the\n"
-            "synthetic transcript table (BASELINE input_hint shape), identical\n"
-            "input at two parallelism levels — the sandbox stand-in for the\n"
-            "N vs 4N executor criterion (BASELINE.md). best of 2 timed runs\n"
-            "after warm-up, fresh JVM per level, noop sink (no prune, no IO).\n\n"
+            "\n## Compute-scaling run (tools/scaling_bench.py)\n\n"
             f"| level | turns/sec | wall sec (rows={small['rows']:,}) |\n|---|---|---|\n"
             f"| local[{n_small}] | {small['rows_per_sec']:,.0f} | {small['sec']:.3f} |\n"
             f"| local[{n_large}] | {large['rows_per_sec']:,.0f} | {large['sec']:.3f} |\n\n"
-            f"- parallelism ratio: {ratio:.0f}x\n"
-            f"- **scaling efficiency = T({n_large}) / ({ratio:.0f} x T({n_small})) = "
-            f"{efficiency:.3f}**\n"
-            f"- target >= 0.8: {'MET' if efficiency >= 0.8 else 'NOT MET'}\n\n"
-            "Reference bar: the per-event Python engine's own stress gate is\n"
-            "~10^3 ev/s/worker (BASELINE.md); the vectorized plan above clears\n"
-            "it by orders of magnitude per core.\n\n"
-            "Caveat: local[k] shares one JVM/driver; shuffle is in-process, so\n"
-            "this measures compute scaling, not network shuffle.\n"
+            f"- scaling efficiency = T({n_large}) / ({ratio:.0f} x T({n_small})) = "
+            f"{efficiency:.3f} ({'MET' if efficiency >= 0.8 else 'NOT MET'} vs 0.8)\n"
         )
 
 
