@@ -209,6 +209,39 @@ class HashPartitionedStateStore:
         return self._publish(manifest, batch_id)
 
 
+    # -- snapshot expiry --------------------------------------------------------
+
+    def expire_snapshots(self, keep_versions: int = 4) -> int:
+        """Delete data generations and manifests unreachable from the
+        newest ``keep_versions`` manifests — the Iceberg
+        ``expire_snapshots`` analog. Keeps ``before_batch`` time-travel
+        working across at least the retained versions. Returns the number
+        of generation directories removed."""
+        import shutil
+
+        current = self.current_version()
+        keep = range(max(0, current - keep_versions + 1), current + 1)
+        live_gens: set[str] = set()
+        for v in keep:
+            try:
+                for rel in self._manifest(v).values():
+                    live_gens.add(rel.split("/", 1)[0])
+            except FileNotFoundError:
+                continue
+        removed = 0
+        for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            if entry.startswith("d") and entry[1:].isdigit() and os.path.isdir(full):
+                if entry not in live_gens:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed += 1
+            elif entry.startswith("manifest_v") and entry.endswith(".json"):
+                v = int(entry[len("manifest_v") : -len(".json")])
+                if v < min(keep):
+                    os.remove(full)
+        return removed
+
+
 def _parquet_rows(directory: str) -> int:
     """Row count from parquet footers — driver-side metadata read, no job
     (the Iceberg-manifest-statistics analog)."""
