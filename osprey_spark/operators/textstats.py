@@ -125,6 +125,17 @@ def _shingle_udf(k: int):
                 out.append([" ".join(w)])
         return pd.Series(out)
 
+    # asNondeterministic is a PLAN PIN, not a semantics claim: the builder
+    # is pure, but Catalyst's InferFiltersFromGenerate derives
+    # `size(sh)>0 AND isnotnull(sh)` from any explode above it and
+    # PushDownPredicates then substitutes the UDF expression through
+    # projections/exchanges — evaluating the corpus's most expensive UDF a
+    # SECOND time below the shuffle just to pre-filter empty arrays
+    # (measured: 2 full ArrowEvalPython passes per pipeline). Marking it
+    # nondeterministic forbids that substitution; callers already place
+    # the UDF exactly where it should run (after semi-joins/pruning), so
+    # the lost automatic pushdown costs nothing.
+    build = build.asNondeterministic()
     _SHINGLE_UDFS[k] = build
     return build
 

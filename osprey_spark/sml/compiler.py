@@ -236,6 +236,7 @@ class CompiledRuleset:
         df: DataFrame,
         label_state: Optional[DataFrame],
         force_broadcast: bool = True,
+        unique_label_state: bool = False,
     ) -> DataFrame:
         """Attach one boolean column per HasLabel site via left joins
         against the label-state table, with the reference's full
@@ -255,7 +256,16 @@ class CompiledRuleset:
         pick the join strategy from runtime sizes — required when the
         state snapshot may exceed the driver's broadcast capacity.
         Already-resolved columns are left untouched, so composing
-        ``resolve_label_lookups`` + ``apply`` never double-joins."""
+        ``resolve_label_lookups`` + ``apply`` never double-joins.
+
+        ``label_state`` is left-joined on (entity_type, entity_id,
+        label_name): a table with MULTIPLE rows per key would fan out
+        event rows, silently duplicating results and verdicts. By default
+        the lookup side is therefore pre-collapsed to the latest
+        ``created_at`` row per key (deterministic struct-max — one extra
+        dim-side shuffle). The streaming pipeline's own store guarantees
+        one row per key, so it passes ``unique_label_state=True`` to skip
+        the collapse; pass it only when your table holds that contract."""
         maybe_bcast = F.broadcast if force_broadcast else (lambda x: x)
         for lk in self.label_lookups or []:
             if lk.col_name in df.columns:
@@ -281,6 +291,27 @@ class CompiledRuleset:
                 F.col("created_at").alias(f"{sfx}_cr"),
                 F.col("expires_ts").alias(f"{sfx}_exp"),
             )
+            if not unique_label_state:
+                # latest-created row wins per entity (lexicographic
+                # struct max → deterministic on created_at ties)
+                rows = (
+                    rows.groupBy(f"{sfx}_eid")
+                    .agg(
+                        F.max(
+                            F.struct(
+                                F.col(f"{sfx}_cr").alias("cr"),
+                                F.col(f"{sfx}_st").alias("st"),
+                                F.col(f"{sfx}_exp").alias("exp"),
+                            )
+                        ).alias("_w")
+                    )
+                    .select(
+                        f"{sfx}_eid",
+                        F.col("_w.st").alias(f"{sfx}_st"),
+                        F.col("_w.cr").alias(f"{sfx}_cr"),
+                        F.col("_w.exp").alias(f"{sfx}_exp"),
+                    )
+                )
             cond = lk.entity_id_col.cast("string") == F.col(f"{sfx}_eid")
             df = df.join(maybe_bcast(rows), on=cond, how="left")
 
@@ -395,6 +426,7 @@ class CompiledRuleset:
         label_state: Optional[DataFrame] = None,
         include_mutation_structs: bool = False,
         force_broadcast: bool = True,
+        unique_label_state: bool = False,
     ) -> DataFrame:
         """Evaluate the whole ruleset for every row of ``df`` in one
         vectorized ``select`` — the Catalyst analogue of the reference's
@@ -407,7 +439,12 @@ class CompiledRuleset:
         from the SAME evaluated (persisted) frame instead of re-running
         the plan."""
         pt = passthrough if passthrough is not None else df.columns
-        df = self.resolve_label_lookups(df, label_state, force_broadcast=force_broadcast)
+        df = self.resolve_label_lookups(
+            df,
+            label_state,
+            force_broadcast=force_broadcast,
+            unique_label_state=unique_label_state,
+        )
         cols = [F.col(c) for c in pt]
         cols.extend(self.output_columns(include_internal=include_internal))
         if include_mutation_structs:

@@ -55,9 +55,21 @@ def _make_escalation_fn(gap_seconds: float, min_triggers: int):
             session_start, last_ts, n_turns, n_triggers, emitted = 0.0, None, 0, 0, False
 
         rows = []
-        for pdf in pdfs:
+        # Materialize ALL Arrow chunks for this key before sorting:
+        # applyInPandasWithState guarantees no cross-chunk ordering within
+        # a micro-batch, so sorting per-chunk (the round-2 shape) could
+        # process a large conversation out of event-time order — last_ts
+        # moving backwards mis-splits sessions. One concat + one sort per
+        # (key, batch); memory is bounded by a key's rows in one batch.
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"ts": [], "is_trigger": []})
+        )
+        if len(batch):
             for ts, trig in sorted(
-                zip(pdf["ts"], pdf["is_trigger"]), key=lambda x: x[0]
+                zip(batch["ts"], batch["is_trigger"]), key=lambda x: x[0]
             ):
                 t = ts.timestamp()
                 if last_ts is None or t - last_ts > gap_seconds:

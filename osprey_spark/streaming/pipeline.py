@@ -215,6 +215,9 @@ class RuleStreamPipeline:
             label_state=label_state,
             include_mutation_structs=True,
             force_broadcast=self.labels.broadcastable(),
+            # the store MERGEs on (entity_type, entity_id, label_name) —
+            # one row per key by construction, skip the defensive collapse
+            unique_label_state=True,
         )
         if self.track_verdict_state:
             # stream-state join: each turn sees verdicts accumulated in

@@ -214,12 +214,23 @@ class HashPartitionedStateStore:
     def expire_snapshots(self, keep_versions: int = 4) -> int:
         """Delete data generations and manifests unreachable from the
         newest ``keep_versions`` manifests — the Iceberg
-        ``expire_snapshots`` analog. Keeps ``before_batch`` time-travel
-        working across at least the retained versions. Returns the number
-        of generation directories removed."""
+        ``expire_snapshots`` analog. Returns the number of generation
+        directories removed.
+
+        CONTRACT: ``keep_versions`` must cover the pipeline's replay
+        window — a replayed batch reads ``before_batch`` snapshots, and
+        expiring a version a pending replay still needs breaks resume.
+        The pipeline retries at most the last un-marked batch, so any
+        value ≥ 2 is safe there; callers doing deeper time-travel size it
+        themselves."""
         import shutil
 
         current = self.current_version()
+        if current < 0:
+            # nothing published yet (e.g. a crash between the first
+            # manifest write and its pointer publish left a stale
+            # manifest_v0.json) — nothing is safely expirable
+            return 0
         keep = range(max(0, current - keep_versions + 1), current + 1)
         live_gens: set[str] = set()
         for v in keep:
