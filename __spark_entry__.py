@@ -34,6 +34,23 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target, F.col(df.columns[0]))
 
 
+_CONTRACT_CAP = 8192  # max rows fed to an O(N²) brute-force contract arm
+
+
+def _stride_sample(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic id-modulo subsample for contract queries whose
+    ground-truth arm is intentionally O(N²): above _CONTRACT_CAP rows,
+    keep only ``id % ceil(n/cap) == 0``. The oracle SQL computes the
+    IDENTICAL stride (a scalar subquery), so Spark and DuckDB compare
+    the same subset at any sf; at every shipped sf the stride is 1 and
+    this is a no-op. One bounded driver-side count."""
+    n = df.count()
+    stride = -(-n // _CONTRACT_CAP)  # ceil
+    if stride <= 1:
+        return df
+    return df.filter(F.col(id_col) % stride == 0)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
@@ -710,7 +727,10 @@ def _simhash_check(spark, sf_dir):
     SQL-expressible; the completeness + threshold invariants are."""
     from osprey_spark.operators.dedup import simhash, simhash_pairs
 
-    d = _documents(spark, sf_dir)
+    # scale gate (see _stride_sample): the brute-force hamming arm is
+    # O(N²) truth by design; above the cap both arms use the same
+    # deterministic doc_id % stride subsample. No-op at shipped sfs.
+    d = _stride_sample(_documents(spark, sf_dir), "doc_id")
     banded = simhash_pairs(d, max_hamming=6, bands=8)
     sims = d.select(F.col("doc_id"), simhash(F.col("text")).alias("_s"))
     l, r = sims.alias("l"), sims.alias("r")
@@ -1001,6 +1021,13 @@ def _near_dup_vectors(spark, sf_dir):
     emb = _embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
+    # SCALE GATE on the brute-force ground-truth arm: all-pairs exact
+    # cosine is O(N²) by design (it IS the contract's truth), so above
+    # _CONTRACT_CAP rows both arms run on the same deterministic
+    # vec_id % stride subsample — the oracle SQL computes the identical
+    # stride, so the contract stays exact at any sf. stride=1 (no-op)
+    # at every shipped sf (≤2000 rows).
+    emb = _stride_sample(emb, "vec_id")
     found = embedding_near_dup_pairs(
         emb, cosine_threshold=0.3, num_hyperplanes=16, bands=8
     ).select("id_a", "id_b", "cosine")
@@ -1025,9 +1052,12 @@ def _near_dup_vectors(spark, sf_dir):
 
 
 _NEAR_DUP_ORACLE = """
-WITH p AS (
+WITH s AS (
+  SELECT * FROM embeddings
+  WHERE vec_id % GREATEST(1, CAST(CEIL((SELECT count(*) FROM embeddings) / 8192.0) AS BIGINT)) = 0
+), p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
 )
 SELECT count(*) AS n_exact_pairs, true AS recall_ok, true AS precision_ok FROM p

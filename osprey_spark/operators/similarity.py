@@ -102,12 +102,25 @@ def knn_join(
     id_col: str = "vec_id",
     q_emb_col: Optional[str] = None,
     q_id_col: Optional[str] = None,
+    max_query_rows: Optional[int] = 100_000,
 ) -> DataFrame:
     """Top-k neighbors for every query row: broadcast the query side,
-    score all pairs, keep k per query with a window. Use only when the
-    query side is broadcastable (the point of the operator)."""
+    score all pairs, keep k per query with a window. The operator's
+    contract is a broadcastable query side; ``max_query_rows`` enforces
+    it with one bounded count (``limit(n+1).count()`` — never a full
+    count of an unbounded side) and raises past the limit instead of
+    letting the driver OOM mid-broadcast. Pass ``None`` to skip the
+    guard when the caller already knows the size."""
     q_emb_col = q_emb_col or emb_col
     q_id_col = q_id_col or id_col
+    if max_query_rows is not None:
+        probe = queries.limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"knn_join query side exceeds max_query_rows={max_query_rows} "
+                "(broadcast contract); partition the queries, raise the limit "
+                "explicitly, or use an LSH/IVF join for big-to-big"
+            )
     q = queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_emb_col).alias("_q"),
@@ -127,17 +140,34 @@ def knn_join(
     )
 
 
+def signbits_udf(planes):
+    """Arrow-batched random-hyperplane sign bits packed into one long:
+    the whole batch is a single ``M @ planes.T >= 0`` matmul (the same
+    numpy shape as ivf_assign_udf — interpreted higher-order Column
+    functions are ~10x slower per the repo's measured shingle finding).
+    planes: (H, dim), H ≤ 63."""
+    P = np.asarray(planes, dtype="float64")
+    weights = np.uint64(1) << np.arange(P.shape[0], dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def bits(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy()).astype("float64")
+        S = (M @ P.T) >= 0  # (n, H) sign bits
+        return pd.Series((S * weights).sum(axis=1).astype(np.int64))
+
+    return bits
+
+
 def hyperplane_bucket(
     emb: Column, num_hyperplanes: int = 8, seed: int = 42, dim: int = 32
 ) -> Column:
-    """Sign-LSH bucket id from ``num_hyperplanes`` fixed random planes."""
+    """Sign-LSH bucket id from ``num_hyperplanes`` fixed random planes —
+    one vectorized matmul per Arrow batch (kept as a Column-producing
+    helper so writers can MATERIALIZE the bucket as a partition column at
+    ingest, where it runs once per row ever)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_hyperplanes, dim))
-    bucket = None
-    for i in range(num_hyperplanes):
-        bit = F.when(dot(emb, _lit_vec(planes[i])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+    return signbits_udf(planes)(emb)
 
 
 def lsh_topk(
@@ -149,12 +179,17 @@ def lsh_topk(
     num_hyperplanes: int = 8,
     seed: int = 42,
     multi_probe: int = 1,
+    bucket_col: Optional[str] = None,
 ) -> DataFrame:
     """Approximate cosine top-k: prune to the query's LSH bucket plus
     all buckets within ``multi_probe`` bit flips, exact re-rank inside.
 
-    The bucket column is a pure expression — on a bucketed/partitioned
-    table the probe set becomes a partition-pruned scan."""
+    Pass ``bucket_col`` when the table carries a PRE-MATERIALIZED bucket
+    (written at ingest with ``hyperplane_bucket``, same planes/seed) —
+    then the probe set is a native IN-filter that partition-prunes the
+    scan. Without it the buckets are computed on the fly (one Arrow
+    matmul per batch), which still prunes the re-rank but must read
+    every row once."""
     qv = np.asarray(query, dtype="float64")
     dim = len(qv)
     rng = np.random.default_rng(seed)
@@ -172,8 +207,11 @@ def lsh_topk(
         for _, i in margins[:multi_probe]:
             probe_buckets.add(qbits ^ (1 << i))
 
-    bucket = hyperplane_bucket(F.col(emb_col), num_hyperplanes, seed, dim)
-    pruned = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isin(list(probe_buckets)))
+    if bucket_col is not None:
+        pruned = df.filter(F.col(bucket_col).isin(list(probe_buckets)))
+    else:
+        bucket = hyperplane_bucket(F.col(emb_col), num_hyperplanes, seed, dim)
+        pruned = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isin(list(probe_buckets)))
     return cosine_topk(pruned, query, k=k, emb_col=emb_col, id_col=id_col)
 
 

@@ -260,6 +260,9 @@ class Validator:
         self.decls: dict[str, tuple[g.Span, VType, str]] = {}
         self.local_decls: dict[str, dict[str, tuple[g.Span, VType]]] = {}
         self._narrowed: dict[str, VType] = {}
+        # (path-or-"" for globals, name) -> assigned value node, for the
+        # one-layer-deep literal resolution of ConstExpr kwargs
+        self._assign_value: dict[tuple[str, str], g.Node] = {}
 
     # -- entry points ---------------------------------------------------------
 
@@ -272,6 +275,9 @@ class Validator:
                 return self.entries
         self._collect_names()
         self._check_defined()
+        self._check_call_kwargs()
+        self._check_unused_locals()
+        self._check_import_cycles()
         for path in self.roots:
             self._check_types(path)
         return self.entries
@@ -294,6 +300,9 @@ class Validator:
                     continue
                 name = stmt.target.identifier
                 vt = self._declared_type(stmt)
+                self._assign_value[
+                    (path if stmt.target.is_local else "", name)
+                ] = stmt.value
                 if stmt.target.is_local:
                     per_file = self.local_decls.setdefault(path, {})
                     if name in per_file:
@@ -404,7 +413,187 @@ class Validator:
                 if isinstance(stmt, g.Assign):
                     defined_so_far.add(stmt.target.identifier)
 
-    # -- pass 3: static types (validate_static_types.py) -----------------------
+    # -- pass 3: call kwargs (validate_call_kwargs.py:29, udf/arguments.py) ----
+
+    def _calls_of(self, stmt: g.Node) -> list[g.Call]:
+        out: list[g.Call] = []
+
+        def walk(n: g.Node) -> None:
+            if isinstance(n, g.Call):
+                out.append(n)
+                for v in n.kwargs.values():
+                    walk(v)
+            elif isinstance(n, g.ListLiteral):
+                for i in n.items:
+                    walk(i)
+            elif isinstance(n, g.BinaryOp) or isinstance(n, g.Compare):
+                walk(n.left)
+                walk(n.right)
+            elif isinstance(n, g.BoolOp):
+                for v in n.values:
+                    walk(v)
+            elif isinstance(n, g.UnaryOp):
+                walk(n.operand)
+
+        if isinstance(stmt, g.Assign):
+            walk(stmt.value)
+        elif isinstance(stmt, g.ExprStatement):
+            walk(stmt.call)
+        return out
+
+    def _is_literalish(self, node: g.Node, path: str, depth: int = 0) -> bool:
+        """ConstExpr resolvability: a literal, a signed number, a list of
+        literals, or (one layer deep, like the reference's
+        identifier-to-resolved-literal mapping) a Name whose assignment
+        value is such a literal."""
+        if isinstance(node, (g.String, g.Number, g.Boolean, g.NoneLiteral)):
+            return True
+        if isinstance(node, g.UnaryOp) and node.op in ("-", "+"):
+            return self._is_literalish(node.operand, path, depth)
+        if isinstance(node, g.ListLiteral):
+            return all(self._is_literalish(i, path, depth) for i in node.items)
+        if isinstance(node, g.Name) and depth == 0:
+            val = self._assign_value.get((path, node.identifier)) or self._assign_value.get(
+                ("", node.identifier)
+            )
+            return val is not None and self._is_literalish(val, path, depth=1)
+        return False
+
+    def _check_call_kwargs(self) -> None:
+        from osprey_spark.sml.signatures import SIGNATURES
+
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                for call in self._calls_of(stmt):
+                    sig = SIGNATURES.get(call.func)
+                    if sig is None:
+                        continue  # unknown names are reported by _type_call
+                    valid = ", ".join(f"`{k}`" for k in sorted(sig.all_kwargs))
+                    for kw, node in call.kwargs.items():
+                        if kw not in sig.all_kwargs and not sig.extra_ok:
+                            closest = _closest(kw, sig.all_kwargs)
+                            self._error(
+                                f"unknown keyword argument: `{kw}`",
+                                node.span,
+                                hint=(
+                                    f"perhaps you meant `{closest}`? "
+                                    if closest
+                                    else ""
+                                )
+                                + f"valid keyword arguments are: [{valid}]",
+                            )
+                            continue
+                        if kw in sig.lists and not isinstance(node, g.ListLiteral):
+                            self._error(
+                                f"argument `{kw}` of `{call.func}` must be a list literal",
+                                node.span,
+                                hint="wrap the value in [...]",
+                            )
+                        elif kw in sig.fstring_ok and not isinstance(
+                            node, (g.String, g.FormatString)
+                        ):
+                            self._error(
+                                f"argument `{kw}` of `{call.func}` must be a string "
+                                "or f-string literal",
+                                node.span,
+                            )
+                        elif kw in sig.const and not self._is_literalish(node, path):
+                            self._error(
+                                f"argument `{kw}` of `{call.func}` must be a constant "
+                                "expression",
+                                node.span,
+                                hint="pass a literal (or a name assigned a literal)",
+                            )
+                    missing = sorted(
+                        k for k in sig.required if k not in call.kwargs
+                    )
+                    if missing:
+                        names = ", ".join(f"`{k}`" for k in missing)
+                        self._error(
+                            f"missing required keyword argument(s): {names}",
+                            call.span,
+                            hint=f"valid keyword arguments are: [{valid}]",
+                        )
+
+    # -- pass 4: no unused locals (no_unused_locals.py:7) -----------------------
+
+    def _check_unused_locals(self) -> None:
+        for path, root in self.roots.items():
+            stores: dict[str, g.Span] = {}
+            loads: set[str] = set()
+            for stmt in root.statements:
+                if isinstance(stmt, g.Assign) and stmt.target.is_local:
+                    stores.setdefault(stmt.target.identifier, stmt.target.span)
+                for name in _loads_of(stmt):
+                    if name.is_local:
+                        loads.add(name.identifier)
+            for ident, span in stores.items():
+                if ident not in loads:
+                    self._error(
+                        f"unused local variable: `{ident}`",
+                        span,
+                        hint=(
+                            "this variable is not used anywhere, and thus has no "
+                            "effect. either delete or comment it out"
+                        ),
+                    )
+
+    # -- pass 5: import cycles (imports_must_not_have_cycles.py:22) ------------
+
+    def _check_import_cycles(self) -> None:
+        # edge list with the span of the importing statement, for the
+        # rendered cycle chain
+        edges: dict[str, list[tuple[str, g.Span]]] = {}
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                if isinstance(stmt, g.ExprStatement):
+                    for target in self._imported_paths(stmt.call):
+                        if target in self.roots:
+                            edges.setdefault(path, []).append((target, stmt.call.span))
+
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {p: WHITE for p in self.roots}
+        stack: list[tuple[str, g.Span]] = []
+        reported: set[frozenset] = set()
+
+        def visit(p: str) -> None:
+            color[p] = GRAY
+            for target, span in edges.get(p, []):
+                if color[target] == GRAY:
+                    # path on the gray stack: ... -> target -> ... -> p,
+                    # plus the closing edge p -> target
+                    names = [q for q, _ in stack] + [p]
+                    spans = [s for _, s in stack] + [span]
+                    i = names.index(target) if target in names else len(names) - 1
+                    cycle_nodes = names[i:] + [target]
+                    edge_spans = spans[i:]  # edge_spans[k]: names[i+k] imports next
+                    key = frozenset(cycle_nodes)
+                    if key not in reported:
+                        reported.add(key)
+                        chain = " -> ".join(cycle_nodes)
+                        self._error(
+                            f"cyclic import: `{chain}`",
+                            span,
+                            hint="imports must form a DAG; break the cycle",
+                            extra=[
+                                SpanWithHint(s, f"`{src}` imports `{dst}` here")
+                                for s, src, dst in zip(
+                                    edge_spans, cycle_nodes, cycle_nodes[1:]
+                                )
+                            ],
+                            extra_msg="cycle participants:",
+                        )
+                elif color[target] == WHITE:
+                    stack.append((p, span))
+                    visit(target)
+                    stack.pop()
+            color[p] = BLACK
+
+        for p in self.roots:
+            if color[p] == WHITE:
+                visit(p)
+
+    # -- pass 6: static types (validate_static_types.py) -----------------------
 
     def _check_types(self, path: str) -> None:
         self._narrowed = {}

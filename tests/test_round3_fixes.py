@@ -248,3 +248,19 @@ Bad = HasLabel(entity=U, label='bad')
     assert out.count() == 2  # no fanout despite the duplicate key
     assert rows["u1"] is True  # latest created_at row (added) wins
     assert rows["u2"] is False
+
+
+# --------------------------------------------------------- kNN broadcast guard
+
+
+def test_knn_join_rejects_oversized_query_side(spark):
+    from osprey_spark.operators.similarity import knn_join
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        knn_join(vecs, vecs, k=2, max_query_rows=5)
+    # under the limit: works; explicit None skips the guard entirely
+    assert knn_join(vecs, vecs.limit(3), k=2).count() == 6
+    assert knn_join(vecs, vecs.limit(3), k=2, max_query_rows=None).count() == 6

@@ -1,0 +1,175 @@
+"""Sustained streaming throughput with the FULL stateful stack enabled
+in one run: compiled rule plan + HasLabel state reads + label-state
+MERGEs + cross-turn verdict tracking + exactly-once sink, with the
+stateful escalation-sessions operator (applyInPandasWithState) running
+concurrently over the same stream — the complete north-star pipeline,
+not the compute kernel.
+
+Reports sustained turns/sec (first batch excluded — JVM/codegen warmup
+amortizes to zero on a long-lived stream) and the per-batch label-merge
+stats, whose flatness as state accumulates across ≥8 batches is the
+O(delta) evidence (a full-snapshot-rewrite store grows linearly here).
+
+Usage: python tools/streaming_full_stack_bench.py [cores] [n_convs]
+Appends to BENCH.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scaling_bench import _GEN, INPUT_BASE  # noqa: E402
+
+RULES_FULL = {
+    "main.sml": """
+ConvId: Entity[str] = EntityJson(type='Conversation', path='$.conv_id')
+Role: str = JsonData(path='$.role')
+Text: str = JsonData(path='$.text')
+Tool: str = JsonData(path='$.tool')
+AlreadyFlagged = HasLabel(entity=ConvId, label='flagged')
+SaysHello = Rule(
+  when_all=[TextContains(text=Text, phrase='hello')],
+  description='turn contains hello',
+)
+HasEmail = Rule(
+  when_all=[RegexMatch(target=Text, pattern='[a-z0-9.]+@[a-z0-9.]+')],
+  description='turn contains an email address',
+)
+RepeatOffender = Rule(
+  when_all=[SaysHello, AlreadyFlagged],
+  description='hello from an already-flagged conversation',
+)
+WhenRules(
+  rules_any=[SaysHello, HasEmail],
+  then=[DeclareVerdict(verdict='flag_turn'), LabelAdd(entity=ConvId, label='flagged')],
+)
+WhenRules(
+  rules_any=[RepeatOffender],
+  then=[DeclareVerdict(verdict='repeat_offender')],
+)
+"""
+}
+
+_WORKER = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from osprey_spark.session import get_spark
+from osprey_spark.streaming.pipeline import RuleStreamPipeline
+from osprey_spark.streaming.escalation_state import streaming_escalation_sessions
+
+RULES = {rules!r}
+cores = int(sys.argv[1])
+
+spark = get_spark(cores=cores, app_name=f"full_stack_{{cores}}", shuffle_partitions=cores)
+n = spark.read.parquet({input_dir!r}).count()
+
+wd = tempfile.mkdtemp(prefix=f"full_stack_{{cores}}_")
+pipe = RuleStreamPipeline(
+    spark, RULES, wd, track_verdict_state=True, salt_buckets=cores
+)
+walls, merge_stats = [], []
+
+def timed(df, bid):
+    t = time.perf_counter()
+    pipe.process_batch(df, bid)
+    walls.append((bid, time.perf_counter() - t))
+    merge_stats.append((bid, dict(pipe.labels.last_merge_stats)))
+
+q1 = (
+    spark.readStream.schema(pipe.schema)
+    .option("maxFilesPerTrigger", "8")
+    .parquet({input_dir!r})
+    .withWatermark("ts", "10 minutes")
+    .writeStream.foreachBatch(timed)
+    .option("checkpointLocation", pipe.checkpoint)
+    .trigger(availableNow=True)
+    .start()
+)
+esc_in = (
+    spark.readStream.schema(pipe.schema)
+    .option("maxFilesPerTrigger", "8")
+    .parquet({input_dir!r})
+    .withWatermark("ts", "30 minutes")
+)
+esc = streaming_escalation_sessions(
+    esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0, min_triggers=2
+)
+q2 = (
+    esc.writeStream.format("noop")
+    .option("checkpointLocation", wd + "/esc_ckpt")
+    .outputMode("append")
+    .trigger(availableNow=True)
+    .start()
+)
+t0 = time.perf_counter()
+q1.awaitTermination()
+q2.awaitTermination()
+wall_both = time.perf_counter() - t0
+
+rows_by_batch = {{m["batch_id"]: m["rows"] for m in pipe.sink.metrics()}}
+total = sum(rows_by_batch.values())
+assert total == n, (total, n)
+tail = [(bid, w) for bid, w in walls if bid > 0]
+tail_rows = sum(rows_by_batch[bid] for bid, _ in tail)
+tail_sec = sum(w for _, w in tail)
+shutil.rmtree(wd, ignore_errors=True)
+print(json.dumps({{
+    "cores": cores, "rows": n, "batches": len(walls),
+    "sustained_rows_per_sec": tail_rows / tail_sec,
+    "wall_both_queries_sec": wall_both,
+    "merge_stats": [{{"batch": bid, **st}} for bid, st in merge_stats],
+}}))
+"""
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
+    input_dir = f"{INPUT_BASE}_{n_convs}"
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", _GEN.format(repo=REPO, input_dir=input_dir), str(n_convs)],
+            capture_output=True, text=True, timeout=1800, check=True,
+        )
+    script = _WORKER.format(repo=REPO, rules=RULES_FULL, input_dir=input_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(out.stdout[-3000:], out.stderr[-3000:])
+        raise RuntimeError("full-stack worker produced no result")
+    r = json.loads(lines[-1])
+    print(json.dumps(r, indent=2))
+
+    ms = r["merge_stats"]
+    rewritten = [m.get("rows_rewritten", 0) for m in ms if m["batch"] > 0]
+    stats_rows = "\n".join(
+        f"| {m['batch']} | {m.get('partitions_rewritten', 0)} | {m.get('rows_rewritten', 0)} |"
+        for m in ms
+    )
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:  # append-only
+        f.write(
+            "\n## Full-stack streaming run (tools/streaming_full_stack_bench.py)\n\n"
+            f"local[{r['cores']}], {r['rows']:,} turns in {r['batches']} micro-batches; "
+            "rule plan + HasLabel reads + label MERGEs + verdict tracking + exactly-once "
+            "sink, with streaming escalation sessions (applyInPandasWithState) running "
+            "concurrently on the same input.\n\n"
+            f"- sustained (batch 0 excluded): **{r['sustained_rows_per_sec']:,.0f} turns/s**\n"
+            f"- wall for BOTH queries: {r['wall_both_queries_sec']:.1f}s\n"
+            f"- per-batch label-merge cost (flat = O(delta), not O(state)): "
+            f"min {min(rewritten):,} / max {max(rewritten):,} rows rewritten\n\n"
+            "| batch | partitions rewritten | rows rewritten |\n|---|---|---|\n"
+            + stats_rows + "\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
