@@ -92,8 +92,15 @@ def _make_escalation_fn(gap_seconds: float, min_triggers: int):
                         )
 
         state.update((session_start, last_ts, n_turns, n_triggers, emitted))
-        # evict once the watermark passes the session gap
-        state.setTimeoutTimestamp(int((last_ts + gap_seconds) * 1000))
+        # evict once the watermark passes the session gap — CLAMPED to
+        # just past the current watermark: a conversation whose last
+        # event-time is already far behind the stream's watermark (late
+        # keys in a day-spanning backfill batch) would otherwise request
+        # a timeout in the past, which Spark rejects with
+        # "timeout timestamp cannot be earlier than watermark"
+        timeout_ms = int((last_ts + gap_seconds) * 1000)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         yield pd.DataFrame(rows, columns=cols)
 
     return fn

@@ -133,6 +133,9 @@ def test_escalation_sorts_across_chunks():
         def setTimeoutTimestamp(self, ms):
             pass
 
+        def getCurrentWatermarkMs(self):
+            return 0
+
     def chunk(ts_list, trig_list):
         return pd.DataFrame(
             {

@@ -69,9 +69,12 @@ cores = int(sys.argv[1])
 spark = get_spark(cores=cores, app_name=f"full_stack_{{cores}}", shuffle_partitions=cores)
 n = spark.read.parquet({input_dir!r}).count()
 
+import os as _os0
 wd = tempfile.mkdtemp(prefix=f"full_stack_{{cores}}_")
 pipe = RuleStreamPipeline(
-    spark, RULES, wd, track_verdict_state=True, salt_buckets=cores
+    spark, RULES, wd,
+    track_verdict_state=_os0.environ.get("FULL_STACK_VERDICT", "1") != "0",
+    salt_buckets=0 if _os0.environ.get("FULL_STACK_SALT", "1") == "0" else cores,
 )
 walls, merge_stats = [], []
 
@@ -80,6 +83,7 @@ def timed(df, bid):
     pipe.process_batch(df, bid)
     walls.append((bid, time.perf_counter() - t))
     merge_stats.append((bid, dict(pipe.labels.last_merge_stats)))
+    print("BATCH", bid, round(walls[-1][1], 2), "s", flush=True)
 
 q1 = (
     spark.readStream.schema(pipe.schema)
@@ -91,25 +95,29 @@ q1 = (
     .trigger(availableNow=True)
     .start()
 )
-esc_in = (
-    spark.readStream.schema(pipe.schema)
-    .option("maxFilesPerTrigger", "8")
-    .parquet({input_dir!r})
-    .withWatermark("ts", "30 minutes")
-)
-esc = streaming_escalation_sessions(
-    esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0, min_triggers=2
-)
-q2 = (
-    esc.writeStream.format("noop")
-    .option("checkpointLocation", wd + "/esc_ckpt")
-    .outputMode("append")
-    .trigger(availableNow=True)
-    .start()
-)
+import os as _os
+q2 = None
+if _os.environ.get("FULL_STACK_ESC", "1") != "0":
+    esc_in = (
+        spark.readStream.schema(pipe.schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet({input_dir!r})
+        .withWatermark("ts", "30 minutes")
+    )
+    esc = streaming_escalation_sessions(
+        esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0, min_triggers=2
+    )
+    q2 = (
+        esc.writeStream.format("noop")
+        .option("checkpointLocation", wd + "/esc_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
 t0 = time.perf_counter()
 q1.awaitTermination()
-q2.awaitTermination()
+if q2 is not None:
+    q2.awaitTermination()
 wall_both = time.perf_counter() - t0
 
 rows_by_batch = {{m["batch_id"]: m["rows"] for m in pipe.sink.metrics()}}
