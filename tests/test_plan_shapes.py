@@ -77,3 +77,30 @@ def test_aggregations_keep_partial_agg(spark):
     nodes around one Exchange), not ship raw rows."""
     plan = _plan(spark, "velocity_tumbling")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_no_interpreted_hofs_in_dedup_plans(spark):
+    """Round-3 vectorization lock: the sign-LSH and SimHash bit math must
+    stay Arrow pandas UDFs (one matmul / one numpy pass per batch), never
+    interpreted higher-order array lambdas — the repo's measured-10x
+    anti-pattern. `aggregate(...)`/`zip_with(...)` appearing in these
+    plans means someone reintroduced the per-row expression form.
+    (The driver contract queries collect into LocalTableScans, so this
+    inspects the OPERATOR plans themselves.)"""
+    from osprey_spark.operators.dedup import embedding_near_dup_pairs, simhash_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plans = {
+        "embedding_near_dup_pairs": embedding_near_dup_pairs(
+            emb, id_col="vec_id", num_hyperplanes=16, bands=8, cosine_threshold=0.3
+        ),
+        "simhash_pairs": simhash_pairs(docs, max_hamming=6, bands=8),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "zip_with" not in plan, f"{name}: interpreted zip_with in plan"
+        assert "aggregate(" not in plan, f"{name}: interpreted aggregate HOF in plan"
+        assert "ArrowEvalPython" in plan  # the vectorized path is present
