@@ -109,12 +109,19 @@ def knn_join(
     contract is a broadcastable query side; ``max_query_rows`` enforces
     it with one bounded count (``limit(n+1).count()`` — never a full
     count of an unbounded side) and raises past the limit instead of
-    letting the driver OOM mid-broadcast. Pass ``None`` to skip the
-    guard when the caller already knows the size."""
+    letting the driver OOM mid-broadcast.
+
+    NOTE (breaking vs r2, flagged in README release notes): the guard
+    runs an EAGER job at call time — the probe counts a minimal
+    projection (id column only, so scans prune to one column and the
+    embedding pipeline doesn't execute), but an expensive upstream plan
+    above the scan still runs once extra. Pass ``None`` to skip the
+    guard when the caller already knows the size, or pre-``persist()``
+    the query side."""
     q_emb_col = q_emb_col or emb_col
     q_id_col = q_id_col or id_col
     if max_query_rows is not None:
-        probe = queries.limit(max_query_rows + 1).count()
+        probe = queries.select(q_id_col).limit(max_query_rows + 1).count()
         if probe > max_query_rows:
             raise ValueError(
                 f"knn_join query side exceeds max_query_rows={max_query_rows} "
@@ -147,6 +154,13 @@ def signbits_udf(planes):
     functions are ~10x slower per the repo's measured shingle finding).
     planes: (H, dim), H ≤ 63."""
     P = np.asarray(planes, dtype="float64")
+    if P.shape[0] > 63:
+        # 64+ bits would wrap the uint64 weight shift / int64 cast and
+        # silently mismatch Python-side query bits (ADVICE r3) — fail loud
+        raise ValueError(
+            f"signbits_udf supports at most 63 hyperplanes, got {P.shape[0]}; "
+            "split into multiple band columns instead"
+        )
     weights = np.uint64(1) << np.arange(P.shape[0], dtype=np.uint64)
 
     @F.pandas_udf(T.LongType())

@@ -242,13 +242,23 @@ class CompiledRuleset:
         against the label-state table, with the reference's full
         semantics (stdlib/udfs/labels.py:211-255):
 
-        - expired label (all reasons expired) → treated as absent
+        - expired label (ALL reasons expired) → treated as absent: with
+          multiple rows per key (one per reason) the collapsed expiry is
+          NULL if any reason never expires, else max(expires_ts) — so
+          ``expired`` evaluates the all-reasons rule exactly at each
+          event's own timestamp
         - ABSENT label: True iff the site checks ``status='removed'`` and
           ``manual`` is not True (an unlabeled entity IS 'removed')
         - present: stored status maps to (simple status, manual) and must
-          match the site's desired status/manual
-        - ``min_label_age``: the label's oldest non-expired ``created_at``
-          must be more than the age before the event's own timestamp
+          match the site's desired status/manual; with multiple reasons
+          the status comes from the latest ``created_at`` row (the
+          reference stores one status per label, carried by the newest
+          mutation)
+        - ``min_label_age``: the label's OLDEST non-expired ``created_at``
+          (labels.py:246-252 takes min over live reasons) must be more
+          than the age before the event's own timestamp — multi-reason
+          state keeps a per-key reasons array so "non-expired" is
+          evaluated against each event's timestamp, not collapse time
         - ``error_on_empty``: an entity with NO label rows at all fails
           the lookup (null result + __error_count), fail-closed
 
@@ -291,27 +301,46 @@ class CompiledRuleset:
                 F.col("created_at").alias(f"{sfx}_cr"),
                 F.col("expires_ts").alias(f"{sfx}_exp"),
             )
-            if not unique_label_state:
-                # latest-created row wins per entity (lexicographic
-                # struct max → deterministic on created_at ties)
-                rows = (
-                    rows.groupBy(f"{sfx}_eid")
-                    .agg(
-                        F.max(
+            multi_reason = not unique_label_state
+            if multi_reason:
+                # multi-reason collapse with reference semantics
+                # (stdlib/udfs/labels.py:215-252): status from the latest
+                # created_at row (lexicographic struct max → deterministic
+                # on ties); expiry NULL if ANY reason never expires, else
+                # max(expires_ts) — "expired" then means ALL reasons
+                # expired; the (cr, exp) reasons array is kept only when a
+                # site needs min_label_age's oldest-live-reason rule
+                aggs = [
+                    F.max(
+                        F.struct(
+                            F.col(f"{sfx}_cr").alias("cr"),
+                            F.col(f"{sfx}_st").alias("st"),
+                        )
+                    ).alias("_w"),
+                    F.max(F.col(f"{sfx}_exp").isNull().cast("int")).alias("_never"),
+                    F.max(F.col(f"{sfx}_exp")).alias("_expmax"),
+                ]
+                if lk.min_label_age is not None:
+                    aggs.append(
+                        F.collect_list(
                             F.struct(
                                 F.col(f"{sfx}_cr").alias("cr"),
-                                F.col(f"{sfx}_st").alias("st"),
                                 F.col(f"{sfx}_exp").alias("exp"),
                             )
-                        ).alias("_w")
+                        ).alias("_rsn")
                     )
-                    .select(
-                        f"{sfx}_eid",
-                        F.col("_w.st").alias(f"{sfx}_st"),
-                        F.col("_w.cr").alias(f"{sfx}_cr"),
-                        F.col("_w.exp").alias(f"{sfx}_exp"),
-                    )
-                )
+                rows = rows.groupBy(f"{sfx}_eid").agg(*aggs)
+                sel = [
+                    F.col(f"{sfx}_eid"),
+                    F.col("_w.st").alias(f"{sfx}_st"),
+                    F.col("_w.cr").alias(f"{sfx}_cr"),
+                    F.when(F.col("_never") == 1, F.lit(None).cast("timestamp"))
+                    .otherwise(F.col("_expmax"))
+                    .alias(f"{sfx}_exp"),
+                ]
+                if lk.min_label_age is not None:
+                    sel.append(F.col("_rsn").alias(f"{sfx}_rsn"))
+                rows = rows.select(*sel)
             cond = lk.entity_id_col.cast("string") == F.col(f"{sfx}_eid")
             df = df.join(maybe_bcast(rows), on=cond, how="left")
 
@@ -327,9 +356,23 @@ class CompiledRuleset:
             elif lk.manual is False:
                 match = match & ~actual_manual
             if lk.min_label_age is not None:
+                if multi_reason:
+                    # oldest NON-EXPIRED reason's created_at, judged
+                    # against this event's timestamp (labels.py:246-252).
+                    # Reasons arrays are tiny (per-label mutation count),
+                    # so the interpreted array lambda is negligible next
+                    # to the join; when the label is fully expired the
+                    # filter is empty → NULL → `present` is already False
+                    live = F.filter(
+                        F.col(f"{sfx}_rsn"),
+                        lambda r: r["exp"].isNull() | (r["exp"] > ts),
+                    )
+                    cr_basis = F.array_min(F.transform(live, lambda r: r["cr"]))
+                else:
+                    cr_basis = F.col(f"{sfx}_cr")
                 # cast to timestamp first: TIMESTAMP_NTZ → double directly
                 # is rejected by Spark 4's type checker
-                age = ts.cast("timestamp").cast("double") - F.col(f"{sfx}_cr").cast(
+                age = ts.cast("timestamp").cast("double") - cr_basis.cast(
                     "timestamp"
                 ).cast("double")
                 match = match & (age > F.lit(float(lk.min_label_age)))
@@ -360,7 +403,7 @@ class CompiledRuleset:
                 )
             else:
                 df = df.withColumn(lk.col_name, result)
-            df = df.drop(f"{sfx}_eid", f"{sfx}_st", f"{sfx}_cr", f"{sfx}_exp")
+            df = df.drop(f"{sfx}_eid", f"{sfx}_st", f"{sfx}_cr", f"{sfx}_exp", f"{sfx}_rsn")
         return df
 
     def output_columns(self, include_internal: bool = True) -> list[Column]:

@@ -102,10 +102,17 @@ class RuleStreamPipeline:
         self.sink = IdempotentParquetSink(os.path.join(workdir, "results"))
         self.labels = LabelStateStore(os.path.join(workdir, "labels"))
         self.checkpoint = os.path.join(workdir, "checkpoint")
+        # verdict counts are additive, so merge-on-read resolution is a
+        # plain SUM over base+delta rows — each batch appends only its
+        # per-conv increments (O(|delta|)); lazy compaction folds a
+        # bucket once its delta-file count passes the threshold
         self.verdict_state = HashPartitionedStateStore(
             os.path.join(workdir, "verdict_state"),
             key_cols=[key_col],
             schema=f"{key_col} string, prior_verdict_count long",
+            resolve_fn=lambda df: df.groupBy(key_col).agg(
+                F.sum("prior_verdict_count").alias("prior_verdict_count")
+            ),
         )
         schema_str = input_schema or TRANSCRIPT_SCHEMA
         from pyspark.sql.types import _parse_datatype_string
@@ -154,20 +161,10 @@ class RuleStreamPipeline:
         delta = (
             out.select(self.key_col, F.size("__verdicts").alias("_n"))
             .groupBy(self.key_col)
-            .agg(F.sum("_n").alias("_dn"))
-            .filter(F.col("_dn") > 0)
+            .agg(F.sum("_n").alias("prior_verdict_count"))
+            .filter(F.col("prior_verdict_count") > 0)
         )
-
-        def merge_fn(current: DataFrame, d: DataFrame) -> DataFrame:
-            return current.join(d, on=self.key_col, how="full_outer").select(
-                self.key_col,
-                (
-                    F.coalesce(F.col("prior_verdict_count"), F.lit(0))
-                    + F.coalesce(F.col("_dn"), F.lit(0))
-                ).alias("prior_verdict_count"),
-            )
-
-        self.verdict_state.merge(delta, merge_fn, batch_id=batch_id)
+        self.verdict_state.merge_append(delta, batch_id=batch_id)
 
     def _read_high_watermark(self) -> Optional[float]:
         try:

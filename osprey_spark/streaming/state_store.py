@@ -1,4 +1,4 @@
-"""Hash-partitioned, versioned, incrementally-merged state store.
+"""Hash-partitioned, versioned state store with merge-on-read deltas.
 
 The scale problem this solves: a streaming pipeline that full-outer-joins
 each micro-batch's delta against its *entire* accumulated state and
@@ -6,29 +6,45 @@ rewrites the whole snapshot degrades linearly with lifetime state size —
 at 10^12 turns the label/verdict state is billions of entities and a
 per-batch O(|state|) rewrite is a scale-killer.
 
-Here state is hash-partitioned into ``num_partitions`` buckets by key
+State is hash-partitioned into ``num_partitions`` buckets by key
 (``pmod(xxhash64(keys), P)`` — the same bucketing a real cluster would
-use for co-located state). A batch merge:
+use for co-located state). Two write paths:
 
-1. computes the delta's dirty bucket ids (≤ P, tiny driver list),
-2. reads ONLY those buckets' current files,
-3. merges (caller-supplied ``merge_fn``) and rewrites ONLY those buckets,
-4. publishes a new manifest (bucket id → data dir) + pointer atomically.
+**merge-on-read (``merge_append``, the default for dense deltas).** The
+round-3 full-stack run showed the copy-on-write path degrade when every
+bucket is dirty each batch (150k active conversations → all 64 buckets
+touched → the merge rewrites the entire growing flagged set, 15.5k→47.9k
+rows/batch). Merge-on-read fixes that: a batch appends ONLY its delta
+rows as new per-bucket parquet files — O(|delta|) writes, no read of
+current state at all — and ``read()`` resolves base+deltas to one row
+per key with a caller-supplied associative ``resolve_fn`` (default:
+latest generation wins, Iceberg MOR's equality-delete semantics). A
+bucket whose live file-list exceeds ``max_delta_files`` is compacted
+lazily during the merge that trips the threshold: its files fold into
+one resolved base file, bounding read amplification at O(max_delta_files)
+while keeping amortized write cost O(|delta|).
 
-Cost per batch is O(|delta| + |state in dirty buckets|) — flat as total
-state grows, matching the reference's per-entity label service semantics
-(reference worker/lib/storage/labels.py:28-95 mutates single rows).
+**copy-on-write (``merge``).** For sparse deltas or non-associative
+merge logic: reads ONLY the dirty buckets' current (resolved) rows,
+applies ``merge_fn``, rewrites those buckets.
 
-This is the plain-parquet stand-in for an Iceberg/Delta MERGE target:
-the manifest is Iceberg's snapshot manifest, the pointer file is the
-catalog's atomic swap, ``before_batch`` reads are time-travel. On a real
-cluster the same class works over an object store path; with Iceberg
-jars present the merge body becomes a single MERGE INTO.
+Both paths publish a new manifest (bucket id → ordered file list) plus
+pointer atomically. This is the plain-parquet stand-in for an
+Iceberg/Delta MOR table: the manifest is Iceberg's snapshot manifest,
+the pointer file is the catalog's atomic swap, delta files are
+equality-delete + data files, lazy compaction is ``rewrite_data_files``,
+``before_batch`` reads are time-travel. On a real cluster the same class
+works over an object store path; with Iceberg jars present
+``merge_append`` becomes a fanout append and ``read`` a MOR scan.
 
 Exactly-once: the pointer records the last applied ``batch_id``; a
 replayed merge of the same batch is a no-op, and ``read(before_batch=b)``
 returns the pre-``b`` snapshot so a replayed batch re-evaluates against
 exactly the state it originally saw (reads-before-writes ordering).
+
+Reference parity: the reference's label service mutates single rows
+per entity (worker/lib/storage/labels.py:28-95); per-batch O(|delta|)
+write cost is the distributed analog of that per-entity cost model.
 """
 
 from __future__ import annotations
@@ -36,12 +52,30 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _PART = "__state_part"
+GEN_COL = "__state_gen"
+_GEN_DIR_RE = re.compile(r"^d\d+x?$")
+# gen id from a data-file path: .../d<v>[x]/__state_part=<b>/part-*.parquet
+_GEN_FROM_PATH = rf"/d(\d+)x?/{_PART}="
+
+
+def latest_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Default MOR resolution: the newest generation's row wins per key
+    (Iceberg equality-delete semantics). One hash aggregation with
+    map-side partial combine; no window sort."""
+    payload_cols = [c for c in df.columns if c not in (*key_cols, GEN_COL, _PART)]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(payload, F.col(GEN_COL)).alias("_r"))
+        .select(*key_cols, "_r.*")
+    )
 
 
 class HashPartitionedStateStore:
@@ -52,12 +86,22 @@ class HashPartitionedStateStore:
         schema: str,
         num_partitions: int = 64,
         max_generations: int = 16,
+        max_delta_files: int = 8,
+        resolve_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
     ):
+        """``resolve_fn(df) -> df`` collapses rows to one per key. It
+        receives the raw base+delta rows with an extra ``__state_gen``
+        long column (monotone write order) and must be ASSOCIATIVE and
+        insensitive to physical row order — compaction applies it to any
+        prefix of a bucket's files and the result must resolve identically
+        against later deltas. Default: :func:`latest_wins`."""
         self.path = path
         self.key_cols = key_cols
         self.schema = schema  # DDL string of the full state row
         self.num_partitions = num_partitions
         self.max_generations = max_generations
+        self.max_delta_files = max_delta_files
+        self.resolve_fn = resolve_fn
         self.last_merge_stats: dict = {}
         os.makedirs(path, exist_ok=True)
 
@@ -82,13 +126,15 @@ class HashPartitionedStateStore:
     def last_batch_id(self) -> Optional[int]:
         return self.pointer()["batch_id"]
 
-    def _manifest(self, version: int) -> dict[str, str]:
+    def _manifest(self, version: int) -> dict[str, list[str]]:
+        """bucket id → ordered (oldest→newest) list of live data dirs."""
         if version < 0:
             return {}
         with open(self._manifest_file(version)) as f:
-            return json.load(f)
+            raw = json.load(f)
+        return {b: [rels] if isinstance(rels, str) else rels for b, rels in raw.items()}
 
-    def _publish(self, manifest: dict[str, str], batch_id: Optional[int]) -> int:
+    def _publish(self, manifest: dict[str, list[str]], batch_id: Optional[int]) -> int:
         v = self.current_version() + 1
         with open(self._manifest_file(v), "w") as f:
             json.dump(manifest, f)
@@ -103,43 +149,140 @@ class HashPartitionedStateStore:
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame([], self.schema)
 
+    def _with_gen(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            GEN_COL, F.regexp_extract(F.input_file_name(), _GEN_FROM_PATH, 1).cast("long")
+        )
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        df = self._with_gen(df)
+        if self.resolve_fn is not None:
+            return self.resolve_fn(df)
+        return latest_wins(df, self.key_cols)
+
+    def _scan(self, spark: SparkSession, manifest: dict[str, list[str]], buckets=None) -> DataFrame:
+        entries = manifest if buckets is None else {
+            str(b): manifest[str(b)] for b in buckets if str(b) in manifest
+        }
+        paths = [os.path.join(self.path, rel) for rels in entries.values() for rel in rels]
+        if not paths:
+            return self._empty(spark)
+        df = spark.read.schema(self.schema).parquet(*paths)
+        if any(len(rels) > 1 for rels in entries.values()):
+            # merge-on-read: some bucket carries un-compacted deltas
+            df = self._resolve(df)
+        return df
+
     def read(
         self, spark: SparkSession, before_batch: Optional[int] = None
     ) -> DataFrame:
-        """Current snapshot; with ``before_batch=b``, the snapshot as of
-        before batch ``b`` was applied (replay-consistent reads)."""
+        """Current resolved snapshot (one row per key); with
+        ``before_batch=b``, the snapshot as of before batch ``b`` was
+        applied (replay-consistent reads). Filters on the key columns
+        push below the MOR resolution (they are grouping columns), so a
+        per-label HasLabel read still prunes at the scan."""
         ptr = self.pointer()
         v = int(ptr["version"])
         if before_batch is not None and ptr["batch_id"] == before_batch:
             v -= 1  # this batch already applied (crash between state and sink)
         if v < 0:
             return self._empty(spark)
-        manifest = self._manifest(v)
-        if not manifest:
-            return self._empty(spark)
-        paths = [os.path.join(self.path, rel) for rel in manifest.values()]
-        return spark.read.schema(self.schema).parquet(*paths)
-
-    def _read_buckets(self, spark: SparkSession, manifest: dict, buckets: list[int]) -> DataFrame:
-        paths = [
-            os.path.join(self.path, manifest[str(b)])
-            for b in buckets
-            if str(b) in manifest
-        ]
-        if not paths:
-            return self._empty(spark)
-        return spark.read.schema(self.schema).parquet(*paths)
+        return self._scan(spark, self._manifest(v))
 
     def approx_size_bytes(self) -> int:
-        """Total bytes of the current snapshot's data files (manifest
-        walk — no Spark job). Used for broadcast-vs-shuffle decisions."""
+        """Total bytes of the current snapshot's live data files (manifest
+        walk — no Spark job). Used for broadcast-vs-shuffle decisions;
+        with pending deltas this over-counts the resolved size, which is
+        the safe direction for a broadcast guard."""
         total = 0
-        for rel in self._manifest(self.current_version()).values():
-            for fp in glob.glob(os.path.join(self.path, rel, "*.parquet")):
-                total += os.path.getsize(fp)
+        for rels in self._manifest(self.current_version()).values():
+            for rel in rels:
+                for fp in glob.glob(os.path.join(self.path, rel, "*.parquet")):
+                    total += os.path.getsize(fp)
         return total
 
-    # -- merge ----------------------------------------------------------------
+    # -- merge-on-read write path ---------------------------------------------
+
+    def merge_append(self, delta: DataFrame, batch_id: Optional[int] = None) -> int:
+        """Append ``delta`` as per-bucket MOR delta files — O(|delta|)
+        write cost, NO read of current state. ``delta`` must hold at most
+        one row per key (pre-collapse the batch) and be self-contained
+        under ``resolve_fn`` (whole-row resolution, not field patching).
+        Buckets whose live file count exceeds ``max_delta_files`` are
+        compacted in the same publish. Idempotent per ``batch_id``."""
+        if batch_id is not None and self.last_batch_id() == batch_id:
+            return self.current_version()  # replay → already applied
+        spark = delta.sparkSession
+        v = self.current_version() + 1
+        gen_dir = f"d{v}"
+        (
+            delta.withColumn(_PART, self._part_of())
+            .repartition(min(self.num_partitions, 32), F.col(_PART))
+            .write.partitionBy(_PART)
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, gen_dir))
+        )
+
+        manifest = {b: list(rels) for b, rels in self._manifest(v - 1).items()}
+        rows_appended = 0
+        touched = []
+        for d in glob.glob(os.path.join(self.path, gen_dir, f"{_PART}=*")):
+            b = d.rsplit("=", 1)[1]
+            touched.append(int(b))
+            manifest.setdefault(b, []).append(f"{gen_dir}/{_PART}={b}")
+            rows_appended += _parquet_rows(d)
+        if not touched:
+            # empty delta: no state change → nothing to version (replaying
+            # an empty merge is naturally idempotent)
+            self.last_merge_stats = {
+                "partitions_touched": 0,
+                "rows_appended": 0,
+                "rows_compacted": 0,
+                "buckets_compacted": 0,
+                "rows_rewritten": 0,
+            }
+            return self.current_version()
+
+        # lazy compaction: fold over-threshold buckets into one base file
+        over = [b for b, rels in manifest.items() if len(rels) > self.max_delta_files]
+        rows_compacted = 0
+        if over:
+            cdir = f"d{v}x"
+            folded = self._resolve(
+                spark.read.schema(self.schema).parquet(
+                    *[os.path.join(self.path, rel) for b in over for rel in manifest[b]]
+                )
+            )
+            (
+                folded.withColumn(_PART, self._part_of())
+                .repartition(min(len(over), 32), F.col(_PART))
+                .write.partitionBy(_PART)
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, cdir))
+            )
+            compacted_buckets = set()
+            for d in glob.glob(os.path.join(self.path, cdir, f"{_PART}=*")):
+                b = d.rsplit("=", 1)[1]
+                compacted_buckets.add(b)
+                manifest[b] = [f"{cdir}/{_PART}={b}"]
+                rows_compacted += _parquet_rows(d)
+            for b in over:
+                if b not in compacted_buckets:  # bucket resolved to empty
+                    manifest.pop(b, None)
+
+        self.last_merge_stats = {
+            "partitions_touched": len(touched),
+            "rows_appended": rows_appended,
+            "rows_compacted": rows_compacted,
+            "buckets_compacted": len(over),
+            # physical write volume this merge: the delta itself plus any
+            # amortized compaction — O(|delta|) steady-state, NOT O(|state|)
+            "rows_rewritten": rows_appended + rows_compacted,
+        }
+        self._publish(manifest, batch_id)
+        return v
+
+    # -- copy-on-write write path ----------------------------------------------
 
     def merge(
         self,
@@ -147,57 +290,54 @@ class HashPartitionedStateStore:
         merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
         batch_id: Optional[int] = None,
     ) -> int:
-        """Merge ``delta`` into state via ``merge_fn(current_dirty, delta)``.
-
-        ``merge_fn`` receives ONLY the dirty buckets' current rows plus the
-        delta, and must return the replacement rows for those buckets'
-        keys. Untouched buckets keep their existing files. Idempotent per
-        ``batch_id`` (replay of an applied batch is a no-op)."""
+        """Copy-on-write merge of ``delta`` via ``merge_fn(current_dirty,
+        delta)``. ``merge_fn`` receives ONLY the dirty buckets' current
+        (resolved) rows plus the delta, and must return the replacement
+        rows for those buckets' keys. Untouched buckets keep their
+        existing files. Idempotent per ``batch_id``. Prefer
+        :meth:`merge_append` when deltas are dense and the merge logic is
+        associative — this path's cost is O(|delta| + |state in dirty
+        buckets|), which degrades to O(|state|) when every bucket is
+        dirty."""
         if batch_id is not None and self.last_batch_id() == batch_id:
             return self.current_version()  # replay → already applied
         spark = delta.sparkSession
 
-        part_of = lambda *cols: F.pmod(  # noqa: E731
-            F.xxhash64(*cols), F.lit(self.num_partitions)
-        ).cast("int")
-
         dirty_rows = (
-            delta.select(part_of(*self.key_cols).alias(_PART)).distinct().collect()
+            delta.select(self._part_of().alias(_PART)).distinct().collect()
         )
         old_manifest = self._manifest(self.current_version())
         if not dirty_rows:
-            # empty delta: no state change → nothing to version (replaying
-            # an empty merge is naturally idempotent)
             self.last_merge_stats = {"partitions_rewritten": 0, "rows_rewritten": 0}
             return self.current_version()
         dirty = sorted(int(r[_PART]) for r in dirty_rows)
 
         # compaction: too many live generations → fold everything this merge
-        generations = {rel.split("/", 1)[0] for rel in old_manifest.values()}
+        generations = {rel.split("/", 1)[0] for rels in old_manifest.values() for rel in rels}
         compact = len(generations) >= self.max_generations
         if compact:
             dirty = sorted(set(dirty) | {int(b) for b in old_manifest})
 
-        current_dirty = self._read_buckets(spark, old_manifest, dirty)
+        current_dirty = self._scan(spark, old_manifest, dirty)
         merged = merge_fn(current_dirty, delta)
 
         v = self.current_version() + 1
         gen_dir = f"d{v}"
         (
-            merged.withColumn(_PART, part_of(*self.key_cols))
+            merged.withColumn(_PART, self._part_of())
             .repartition(min(len(dirty), 32), F.col(_PART))
             .write.partitionBy(_PART)
             .mode("overwrite")
             .parquet(os.path.join(self.path, gen_dir))
         )
 
-        manifest = dict(old_manifest)
+        manifest = {b: list(rels) for b, rels in old_manifest.items()}
         rows_rewritten = 0
         written = set()
         for d in glob.glob(os.path.join(self.path, gen_dir, f"{_PART}=*")):
             b = int(d.rsplit("=", 1)[1])
             written.add(b)
-            manifest[str(b)] = f"{gen_dir}/{_PART}={b}"
+            manifest[str(b)] = [f"{gen_dir}/{_PART}={b}"]
             rows_rewritten += _parquet_rows(d)
         for b in dirty:
             if b not in written:  # bucket emptied by the merge
@@ -206,8 +346,13 @@ class HashPartitionedStateStore:
             "partitions_rewritten": len(dirty),
             "rows_rewritten": rows_rewritten,
         }
-        return self._publish(manifest, batch_id)
+        self._publish(manifest, batch_id)
+        return v
 
+    def _part_of(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_partitions)
+        ).cast("int")
 
     # -- snapshot expiry --------------------------------------------------------
 
@@ -235,14 +380,15 @@ class HashPartitionedStateStore:
         live_gens: set[str] = set()
         for v in keep:
             try:
-                for rel in self._manifest(v).values():
-                    live_gens.add(rel.split("/", 1)[0])
+                for rels in self._manifest(v).values():
+                    for rel in rels:
+                        live_gens.add(rel.split("/", 1)[0])
             except FileNotFoundError:
                 continue
         removed = 0
         for entry in os.listdir(self.path):
             full = os.path.join(self.path, entry)
-            if entry.startswith("d") and entry[1:].isdigit() and os.path.isdir(full):
+            if _GEN_DIR_RE.match(entry) and os.path.isdir(full):
                 if entry not in live_gens:
                     shutil.rmtree(full, ignore_errors=True)
                     removed += 1

@@ -153,3 +153,48 @@ WhenRules(rules_any=[Always], then=[
     rows = {r["label_name"]: r for r in plan.label_mutation_rows(df).collect()}
     assert rows["slow"]["apply_at"] == T0 + datetime.timedelta(minutes=10)
     assert rows["fast"]["apply_at"] == T0
+
+
+def test_multi_reason_expiry_and_min_age(spark):
+    """ADVICE r3 (medium): with multiple rows (reasons) per key the label
+    is expired only when ALL reasons are expired (labels.py:215-222), and
+    min_label_age is judged from the OLDEST non-expired created_at
+    (labels.py:246-252) — both evaluated against each event's own
+    timestamp. The old collapse kept only the newest created_at row, so a
+    key whose newest reason expired while an older one was live resolved
+    as absent, and min_label_age read the newest created_at."""
+    h = datetime.timedelta(hours=1)
+    rows = [
+        # u_mix: old never-expiring reason + NEWER reason already expired
+        # → still present; min age from the 9h-old live reason
+        ("User", "u_mix", "bad", 1, T0 - 9 * h, None, None),
+        ("User", "u_mix", "bad", 1, T0 - 2 * h, T0 - h, None),
+        # u_yng: oldest reason EXPIRED, only a 30-min-old one live → the
+        # 1h min-age gate must fail (oldest LIVE, not oldest overall)
+        ("User", "u_yng", "bad", 1, T0 - 5 * h, T0 - 4 * h, None),
+        ("User", "u_yng", "bad", 1, T0 - h / 2, None, None),
+        # u_allexp: every reason expired → absent
+        ("User", "u_allexp", "bad", 1, T0 - 9 * h, T0 - 2 * h, None),
+        ("User", "u_allexp", "bad", 1, T0 - 6 * h, T0 - h, None),
+        # u_rmlate: status comes from the latest created_at row (removed)
+        ("User", "u_rmlate", "bad", 1, T0 - 3 * h, None, None),
+        ("User", "u_rmlate", "bad", 0, T0 - h, None, None),
+    ]
+    state = spark.createDataFrame(rows, STATE_SCHEMA)
+    sml = """
+U: Entity[str] = EntityJson(type='User', path='$.uid')
+Added = HasLabel(entity=U, label='bad')
+Seasoned = HasLabel(entity=U, label='bad', min_label_age=TimeDelta(hours=1))
+Removed = HasLabel(entity=U, label='bad', status='removed')
+"""
+    ids = ["u_mix", "u_yng", "u_allexp", "u_rmlate"]
+    got = _run(spark, sml, ids, state)
+    assert {u: got[u]["Added"] for u in ids} == {
+        "u_mix": True, "u_yng": True, "u_allexp": False, "u_rmlate": False,
+    }
+    assert {u: got[u]["Seasoned"] for u in ids} == {
+        "u_mix": True, "u_yng": False, "u_allexp": False, "u_rmlate": False,
+    }
+    assert {u: got[u]["Removed"] for u in ids} == {
+        "u_mix": False, "u_yng": False, "u_allexp": True, "u_rmlate": True,
+    }

@@ -30,22 +30,60 @@ def _mut_batch(spark, ids):
 
 
 def test_merge_cost_is_delta_not_state(spark, tmp_path):
-    """Feed 10 batches of 20 disjoint entities each. The rows rewritten
-    per merge must track the DELTA size (plus same-bucket residents),
-    not total state size — i.e. batch 10's rewrite is nowhere near the
-    180 accumulated rows (the round-1 full-snapshot rewrite was exactly
-    |state| + |delta| every batch)."""
+    """Feed 10 batches of 20 disjoint entities each. Merge-on-read: each
+    batch writes EXACTLY its delta (the round-1 full-snapshot rewrite was
+    |state| + |delta| every batch; the round-2/3 copy-on-write path
+    rewrote the dirty buckets' full resident sets)."""
     store = LabelStateStore(str(tmp_path / "labels"), num_partitions=64)
-    rewritten = []
     for b in range(10):
         store.apply_mutations(_mut_batch(spark, range(b * 20, b * 20 + 20)), batch_id=b)
-        rewritten.append(store.last_merge_stats["rows_rewritten"])
+        assert store.last_merge_stats["rows_appended"] == 20
+        # no bucket accumulates enough delta files here to compact
+        assert store.last_merge_stats["rows_rewritten"] == 20
     assert store.read(spark).count() == 200
-    # every merge rewrote at most the delta plus its dirty buckets'
-    # residents — far below total state; and cost does not grow linearly
-    assert rewritten[1] <= 60
-    assert rewritten[-1] <= 110  # < 55% of the 180 rows already in state
-    assert rewritten[-1] <= rewritten[1] * 2.5
+
+
+def test_dense_delta_merge_is_o_delta(spark, tmp_path):
+    """The round-3 weak spot: a dense delta (EVERY bucket dirty, growing
+    flagged set) made the copy-on-write merge rewrite the entire state
+    each batch (15.5k→47.9k rows/batch in the full-stack run). With
+    merge-on-read, 10 dense batches of 40 new entities each must append
+    exactly 40 rows per batch — flat while state grows 40→400 — with
+    compaction amortized (bounded by max_delta_files, never per-batch)."""
+    store = LabelStateStore(str(tmp_path / "labels"), num_partitions=4, max_delta_files=8)
+    appended, compactions = [], []
+    for b in range(10):
+        store.apply_mutations(_mut_batch(spark, range(b * 40, b * 40 + 40)), batch_id=b)
+        appended.append(store.last_merge_stats["rows_appended"])
+        compactions.append(store.last_merge_stats["buckets_compacted"])
+    assert appended == [40] * 10  # write cost tracks NEW mutations, not |state|
+    # lazy compaction fired at most once per bucket over the whole run
+    assert sum(1 for c in compactions if c > 0) <= 2
+    assert store.read(spark).count() == 400
+
+
+def test_manual_precedence_across_batches_and_compaction(spark, tmp_path):
+    """Cross-batch conflict resolution with MOR deltas must reproduce the
+    reference's sequential fold (labels.py CANNOT_OVERRIDE_MANUAL): an
+    automatic mutation in a later batch cannot override a standing manual
+    status; a later manual can. Must hold both on the un-compacted delta
+    stack and after forced per-batch compaction."""
+    for max_delta in (99, 1):  # 1 → compaction fires every batch
+        path = str(tmp_path / f"labels_{max_delta}")
+        store = LabelStateStore(path, num_partitions=4, max_delta_files=max_delta)
+        row = lambda st, ts: [("User", "u1", "bad", st, ts, None)]  # noqa: E731
+        mk = lambda rows: spark.createDataFrame(rows, MSCHEMA)  # noqa: E731
+        m = datetime.timedelta(minutes=1)
+        store.apply_mutations(mk(row(3, T0)), batch_id=0)  # manually added
+        store.apply_mutations(mk(row(0, T0 + m)), batch_id=1)  # auto remove → blocked
+        st = store.read(spark).collect()
+        assert [(r["status"], r["created_at"]) for r in st] == [(3, T0)]
+        store.apply_mutations(mk(row(2, T0 + 2 * m)), batch_id=2)  # manual remove wins
+        st = store.read(spark).collect()
+        assert [(r["status"], r["created_at"]) for r in st] == [(2, T0 + 2 * m)]
+        store.apply_mutations(mk(row(1, T0 + 3 * m)), batch_id=3)  # auto add → blocked
+        st = store.read(spark).collect()
+        assert [(r["status"], r["created_at"]) for r in st] == [(2, T0 + 2 * m)]
 
 
 def test_merge_idempotent_per_batch(spark, tmp_path):
@@ -87,7 +125,11 @@ def test_store_compaction_bounds_generations(spark, tmp_path):
 
     with open(store._manifest_file(store.current_version())) as f:
         manifest = json.load(f)
-    gens = {rel.split("/", 1)[0] for rel in manifest.values()}
+    gens = {
+        rel.split("/", 1)[0]
+        for rels in manifest.values()
+        for rel in ([rels] if isinstance(rels, str) else rels)
+    }
     assert len(gens) <= 4  # compaction folded old generations
 
 
@@ -238,7 +280,10 @@ def test_streaming_escalation_sessions(spark, tmp_path):
 def test_snapshot_expiry(spark, tmp_path):
     """expire_snapshots removes generations unreachable from the newest
     K manifests; current reads and recent time-travel stay intact."""
-    store = LabelStateStore(str(tmp_path / "labels"), num_partitions=8)
+    # max_delta_files=2 forces frequent compaction, so older delta
+    # generations become unreferenced and eligible for expiry (with MOR,
+    # un-compacted delta files stay live in the manifest indefinitely)
+    store = LabelStateStore(str(tmp_path / "labels"), num_partitions=8, max_delta_files=2)
     for b in range(8):
         store.apply_mutations(_mut_batch(spark, range(b * 5, b * 5 + 5)), batch_id=b)
     assert store.read(spark).count() == 40

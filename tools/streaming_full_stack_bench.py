@@ -158,23 +158,28 @@ def main() -> None:
     print(json.dumps(r, indent=2))
 
     ms = r["merge_stats"]
-    rewritten = [m.get("rows_rewritten", 0) for m in ms if m["batch"] > 0]
+    appended = [m.get("rows_appended", 0) for m in ms if m["batch"] > 0]
+    compacted = [m.get("rows_compacted", 0) for m in ms if m["batch"] > 0]
     stats_rows = "\n".join(
-        f"| {m['batch']} | {m.get('partitions_rewritten', 0)} | {m.get('rows_rewritten', 0)} |"
+        f"| {m['batch']} | {m.get('partitions_touched', 0)} | {m.get('rows_appended', 0)} "
+        f"| {m.get('buckets_compacted', 0)} | {m.get('rows_compacted', 0)} |"
         for m in ms
     )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:  # append-only
         f.write(
             "\n## Full-stack streaming run (tools/streaming_full_stack_bench.py)\n\n"
             f"local[{r['cores']}], {r['rows']:,} turns in {r['batches']} micro-batches; "
-            "rule plan + HasLabel reads + label MERGEs + verdict tracking + exactly-once "
-            "sink, with streaming escalation sessions (applyInPandasWithState) running "
-            "concurrently on the same input.\n\n"
+            "rule plan + HasLabel reads + merge-on-read label deltas + verdict tracking "
+            "+ exactly-once sink, with streaming escalation sessions "
+            "(applyInPandasWithState) running concurrently on the same input.\n\n"
             f"- sustained (batch 0 excluded): **{r['sustained_rows_per_sec']:,.0f} turns/s**\n"
             f"- wall for BOTH queries: {r['wall_both_queries_sec']:.1f}s\n"
-            f"- per-batch label-merge cost (flat = O(delta), not O(state)): "
-            f"min {min(rewritten):,} / max {max(rewritten):,} rows rewritten\n\n"
-            "| batch | partitions rewritten | rows rewritten |\n|---|---|---|\n"
+            f"- per-batch label write cost is the DELTA, not the flagged set: appended "
+            f"min {min(appended):,} / max {max(appended):,} rows; compaction (amortized, "
+            f"fires when a bucket exceeds max_delta_files) "
+            f"min {min(compacted):,} / max {max(compacted):,} rows\n\n"
+            "| batch | buckets touched | rows appended | buckets compacted | rows compacted |\n"
+            "|---|---|---|---|---|\n"
             + stats_rows + "\n"
         )
 
