@@ -174,6 +174,9 @@ class CompileContext:
         self.custom_effects: list[CustomEffectEntry] = []
         self.error_indicators: list[Column] = []
         self.rules: dict[str, RuleInfo] = {}
+        # feature name → entity type (reference
+        # feature_name_to_entity_type_mapping.py:9 — the UI API reads it)
+        self.feature_entity_types: dict[str, str] = {}
         self._processed_files: set[str] = set()
         self._gate: Optional[Column] = None
         self.current_annotation: Optional[st.SmlType] = None
@@ -230,6 +233,16 @@ class CompiledRuleset:
     action_id_col: Optional[str]
     timestamp_col: str
     label_lookups: list[LabelLookup] = None  # type: ignore[assignment]
+    # feature name → entity type (reference
+    # feature_name_to_entity_type_mapping.py:9): which entity type each
+    # stored entity feature resolves to — the UI-API surface reads this
+    feature_entity_types: dict[str, str] = None  # type: ignore[assignment]
+
+    @property
+    def rule_descriptions(self) -> dict[str, str]:
+        """Rule feature name → description (reference
+        rule_name_to_description_mapping.py:7-30), for UI consumers."""
+        return {name: info.description for name, info in self.rules.items()}
 
     def resolve_label_lookups(
         self,
@@ -604,6 +617,7 @@ class RulesetCompiler:
             action_id_col=ctx.action_id_col,
             timestamp_col=ctx.timestamp_col,
             label_lookups=ctx.label_lookups,
+            feature_entity_types=dict(ctx.feature_entity_types),
         )
 
     # -- statement walk ------------------------------------------------------
@@ -688,6 +702,8 @@ class RulesetCompiler:
             # name the rule after the feature (stdlib/udfs/rules.py:33-57)
             cv.rule.name = name
             ctx.rules[name] = cv.rule
+        if cv.entity_type is not None and not stmt.target.is_local:
+            ctx.feature_entity_types[name] = cv.entity_type
         ctx.env[name] = cv
 
         # extraction rules: ast/grammar.py:354-378

@@ -263,21 +263,37 @@ class Validator:
         # (path-or-"" for globals, name) -> assigned value node, for the
         # one-layer-deep literal resolution of ConstExpr kwargs
         self._assign_value: dict[tuple[str, str], g.Node] = {}
+        # results exposed for the compiler / UI surface (reference
+        # HasResult validators): filled by their passes in run()
+        self.labels_config = None
+        self.feature_entity_types: dict[str, str] = {}
+        self.rule_descriptions: dict[str, str] = {}
 
     # -- entry points ---------------------------------------------------------
 
     def run(self) -> list[ValidationEntry]:
+        from osprey_spark.sml.configs import parse_labels_config
+
         for path, text in self.sources.items():
+            if path.endswith((".yaml", ".yml")):
+                continue  # config plane, not SML (reference sources.config)
             try:
                 self.roots[path] = parser.parse_source(text, path)
             except Exception as e:  # parse error → single entry
                 self._error(str(e), g.Span(path, 1, 0))
                 return self.entries
+        self.labels_config, cfg_errors = parse_labels_config(self.sources)
+        for ce in cfg_errors:
+            self._error(ce.message, ce.span, hint=ce.hint)
         self._collect_names()
         self._check_defined()
         self._check_call_kwargs()
         self._check_unused_locals()
         self._check_import_cycles()
+        self._collect_feature_entity_types()
+        self._collect_rule_descriptions()
+        self._check_dynamic_annotations()
+        self._check_labels()
         for path in self.roots:
             self._check_types(path)
         return self.entries
@@ -514,6 +530,151 @@ class Validator:
                             call.span,
                             hint=f"valid keyword arguments are: [{valid}]",
                         )
+
+    # -- passes: entity-type / rule-description mappings + labels config -------
+
+    def _resolve_str(self, node: Optional[g.Node], path: str) -> Optional[str]:
+        """Literal string value of a kwarg node: a String, or (one layer
+        deep, mirroring ``_is_literalish``) a Name assigned a String."""
+        if isinstance(node, g.String):
+            return node.value
+        if isinstance(node, g.Name):
+            val = self._assign_value.get((path, node.identifier)) or self._assign_value.get(
+                ("", node.identifier)
+            )
+            if isinstance(val, g.String):
+                return val.value
+        return None
+
+    def _collect_feature_entity_types(self) -> None:
+        """FeatureNameToEntityTypeMapping (reference
+        feature_name_to_entity_type_mapping.py:9-27): non-local feature
+        names assigned an entity-producing call map to that entity type.
+        UniqueStoredNames guarantees one assignment per name, so the
+        mapping is single-valued by construction."""
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                if (
+                    isinstance(stmt, g.Assign)
+                    and not stmt.target.is_local
+                    and isinstance(stmt.value, g.Call)
+                    and stmt.value.func in ("Entity", "EntityJson")
+                ):
+                    etype = self._resolve_str(stmt.value.kwargs.get("type"), path)
+                    if etype is not None:
+                        self.feature_entity_types[stmt.target.identifier] = etype
+
+    def _collect_rule_descriptions(self) -> None:
+        """RuleNameToDescriptionMapping (reference
+        rule_name_to_description_mapping.py:7-30): rule feature name →
+        description literal (f-strings keep their format string) — the
+        registry the reference UI API reads."""
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                if (
+                    isinstance(stmt, g.Assign)
+                    and isinstance(stmt.value, g.Call)
+                    and stmt.value.func == "Rule"
+                ):
+                    desc = stmt.value.kwargs.get("description")
+                    if isinstance(desc, g.FormatString):
+                        self.rule_descriptions[stmt.target.identifier] = desc.format_string
+                    elif isinstance(desc, g.String):
+                        self.rule_descriptions[stmt.target.identifier] = desc.value
+
+    _DYNAMIC_RVALUE = ("JsonData",)
+
+    def _check_dynamic_annotations(self) -> None:
+        """ValidateDynamicCallsHaveAnnotatedRValue (reference
+        validate_dynamic_calls_have_annotated_rvalue.py:20-70): a call
+        whose result type is data-dependent must be assigned to a
+        variable WITH a type annotation — otherwise the rvalue type is an
+        unreviewed inference default."""
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                direct = stmt.value if isinstance(stmt, g.Assign) else None
+                for call in self._calls_of(stmt):
+                    if call.func not in self._DYNAMIC_RVALUE:
+                        continue
+                    if call is direct:
+                        if stmt.annotation is None:
+                            self._error(
+                                f"`{call.func}(...)` returns a dynamic result, and "
+                                "the assignment must have a type annotation",
+                                stmt.span,
+                                hint=(
+                                    "add a type annotation, like: "
+                                    f"`{stmt.target.identifier}: str = {call.func}(...)`"
+                                ),
+                            )
+                    else:
+                        self._error(
+                            f"`{call.func}(...)` returns a dynamic result, and thus "
+                            "must be assigned to a variable with a type annotation",
+                            call.span,
+                            hint=f"assign it first, like: `MyValue: str = {call.func}(...)`",
+                        )
+
+    _LABEL_CALLS = ("LabelAdd", "LabelRemove", "HasLabel")
+
+    def _check_labels(self) -> None:
+        """ValidateLabels (reference validate_labels.py:16-85 + the
+        HasLabel constructor check, stdlib/udfs/labels.py:183-192): every
+        label name in a LabelAdd/LabelRemove/HasLabel must exist in the
+        ruleset's labels config (did-you-mean + a secondary span pointing
+        at the config's ``labels`` key), and a mutation's entity type
+        must be in the label's ``valid_for`` list (secondary span at that
+        list). Skipped entirely when the ruleset ships no config plane —
+        config-less rulesets stay compilable."""
+        cfg = self.labels_config
+        if cfg is None:
+            return
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                for call in self._calls_of(stmt):
+                    if call.func not in self._LABEL_CALLS:
+                        continue
+                    label_node = call.kwargs.get("label")
+                    name = self._resolve_str(label_node, path)
+                    if name is None:
+                        continue  # non-const labels are kwarg-pass errors
+                    info = cfg.labels.get(name)
+                    if info is None:
+                        closest = _closest(name, cfg.labels.keys())
+                        extra_hint = f", did you mean `{closest}`?" if closest else ""
+                        self._error(
+                            "unknown label",
+                            label_node.span,
+                            hint=f"there is no `{name}` label in the config{extra_hint}",
+                            extra=[
+                                SpanWithHint(
+                                    cfg.labels_key_span,
+                                    "add the label to the config here",
+                                )
+                            ],
+                        )
+                        continue
+                    if call.func in ("LabelAdd", "LabelRemove"):
+                        ent = call.kwargs.get("entity")
+                        if not isinstance(ent, g.Name):
+                            continue  # non-name entities error elsewhere
+                        etype = self.feature_entity_types.get(ent.identifier)
+                        if etype is not None and etype not in info.valid_for:
+                            valid_str = ", ".join(f"`{t}`" for t in info.valid_for)
+                            self._error(
+                                "label is not valid for this entity type",
+                                ent.span,
+                                hint=(
+                                    f"entity has type `{etype}`, this label is "
+                                    f"valid for {valid_str}"
+                                ),
+                                extra=[
+                                    SpanWithHint(
+                                        info.valid_for_span or info.key_span,
+                                        "valid types for this label are set here",
+                                    )
+                                ],
+                            )
 
     # -- pass 4: no unused locals (no_unused_locals.py:7) -----------------------
 

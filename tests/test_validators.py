@@ -297,7 +297,7 @@ GOLDEN_REJECTS = [
     # (name, sources dict, substrings that must appear)
     (
         "kwarg_unknown_did_you_mean",
-        {"main.sml": "X = JsonData(path='$.x', requied=True)\n"},
+        {"main.sml": "X: str = JsonData(path='$.x', requied=True)\n"},
         ["unknown keyword argument: `requied`", "perhaps you meant `required`?"],
     ),
     (
@@ -442,3 +442,127 @@ def test_import_dag_accepted():
             "b.sml": "B: int = JsonData(path='$.b')\n",
         }
     )
+
+
+# --- round 4: labels config / mappings / dynamic-rvalue annotations -----------
+
+LABELS_CONFIG = """\
+labels:
+  flagged:
+    valid_for: [Conversation]
+    connotation: negative
+    description: conversation was flagged by a rule
+  trusted_user:
+    valid_for: [User]
+    connotation: positive
+"""
+
+LABELED_RULES = """\
+ConvId: Entity[str] = EntityJson(type='Conversation', path='$.conv_id')
+UserId: Entity[str] = EntityJson(type='User', path='$.user_id')
+Text: str = JsonData(path='$.text')
+Bad = Rule(when_all=[TextContains(text=Text, phrase='bad')], description='bad text')
+WhenRules(rules_any=[Bad], then=[LabelAdd(entity=ConvId, label='flagged')])
+Trusted = HasLabel(entity=UserId, label='trusted_user')
+"""
+
+
+def test_labels_config_accepts_known_labels():
+    validate_sources({"main.sml": LABELED_RULES, "config.yaml": LABELS_CONFIG})
+
+
+def test_no_config_skips_label_checking():
+    # a ruleset without a config plane must stay valid (labels unchecked)
+    validate_sources(
+        {"main.sml": LABELED_RULES.replace("'flagged'", "'anything_goes'")}
+    )
+
+
+def test_compiled_ruleset_exposes_mappings(spark):
+    from osprey_spark.sml.compiler import RulesetCompiler
+
+    schema = "conv_id string, user_id string, text string, ts timestamp"
+    df = spark.createDataFrame([], schema)
+    plan = RulesetCompiler(
+        {"main.sml": LABELED_RULES}, input_schema=df.schema
+    ).compile()
+    assert plan.feature_entity_types == {
+        "ConvId": "Conversation",
+        "UserId": "User",
+    }
+    assert plan.rule_descriptions == {"Bad": "bad text"}
+
+
+def test_validator_exposes_mappings():
+    from osprey_spark.sml.validators import Validator
+
+    v = Validator({"main.sml": LABELED_RULES, "config.yaml": LABELS_CONFIG})
+    assert v.run() == []
+    assert v.feature_entity_types == {"ConvId": "Conversation", "UserId": "User"}
+    assert v.rule_descriptions == {"Bad": "bad text"}
+    assert set(v.labels_config.labels) == {"flagged", "trusted_user"}
+
+
+GOLDEN_REJECTS_R4 = [
+    (
+        "labels_unknown_did_you_mean",
+        {
+            "main.sml": LABELED_RULES.replace("label='flagged'", "label='flaged'"),
+            "config.yaml": LABELS_CONFIG,
+        },
+        ["unknown label", "there is no `flaged` label in the config",
+         "did you mean `flagged`?", "add the label to the config here"],
+    ),
+    (
+        "labels_haslabel_unknown",
+        {
+            "main.sml": LABELED_RULES.replace("label='trusted_user'", "label='trusted_usr'"),
+            "config.yaml": LABELS_CONFIG,
+        },
+        ["unknown label", "did you mean `trusted_user`?"],
+    ),
+    (
+        "labels_invalid_entity_type",
+        {
+            "main.sml": LABELED_RULES.replace("entity=ConvId", "entity=UserId"),
+            "config.yaml": LABELS_CONFIG,
+        },
+        ["label is not valid for this entity type",
+         "entity has type `User`, this label is valid for `Conversation`",
+         "valid types for this label are set here"],
+    ),
+    (
+        "labels_bad_connotation",
+        {
+            "main.sml": LABELED_RULES,
+            "config.yaml": LABELS_CONFIG.replace("negative", "negativ"),
+        },
+        ["unknown connotation `negativ` for label `flagged`",
+         "expected one of: `positive`, `negative`, `neutral`"],
+    ),
+    (
+        "dynamic_unannotated_assign",
+        {"main.sml": "X = JsonData(path='$.x')\n"},
+        ["`JsonData(...)` returns a dynamic result, and the assignment must "
+         "have a type annotation",
+         "add a type annotation, like: `X: str = JsonData(...)`"],
+    ),
+    (
+        "dynamic_nested_call",
+        {"main.sml": "R = Rule(when_all=[JsonData(path='$.x')], description='d')\n"},
+        ["`JsonData(...)` returns a dynamic result, and thus must be assigned "
+         "to a variable with a type annotation"],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,sources,needles", GOLDEN_REJECTS_R4, ids=[c[0] for c in GOLDEN_REJECTS_R4]
+)
+def test_reject_goldens_r4(name, sources, needles, golden_check):
+    with pytest.raises(ValidationFailed) as ei:
+        validate_sources(sources)
+    out = ei.value.rendered
+    for needle in needles:
+        assert needle in out, f"{name}: {needle!r} not in rendering"
+    golden_check(f"validators/{name}.txt", out)
