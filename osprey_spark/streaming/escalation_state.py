@@ -113,14 +113,39 @@ def streaming_escalation_sessions(
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
     min_triggers: int = 2,
+    candidates: "DataFrame | None" = None,
 ) -> DataFrame:
     """Attach to a (streaming) DataFrame of turns; emits one row per
-    session the moment its trigger count reaches ``min_triggers``."""
+    session the moment its trigger count reaches ``min_triggers``.
+
+    ``candidates`` (optional, the group-count bound for dense inputs):
+    a non-streaming DataFrame whose FIRST column lists conversation ids
+    to consider; the stream is stream-static LEFT SEMI joined against it
+    (broadcast — candidate sets are id-only) BEFORE the stateful
+    operator, so ``applyInPandasWithState`` pays its ~1 Python
+    dispatch per (group, batch) only for candidate conversations.
+
+    Exactness contract: the set must contain every conversation that
+    ever has a trigger turn (an over-approximation is fine). Then the
+    output is IDENTICAL to the unfiltered operator: a candidate
+    conversation keeps ALL its turns (the semi-join is per conversation,
+    not per row), and a non-candidate conversation has zero triggers so
+    it can never reach ``min_triggers`` — its state would only ever be
+    created and evicted. At 10^12-turn scale the set is the cheap
+    JVM-side index of convs-with-recent-triggers (a distinct over the
+    trigger predicate, or a bloom maintained alongside ingest), which
+    bounds Python group dispatch by the trigger density instead of the
+    conversation density."""
     prepared = stream.select(
         F.col(key).alias("conv_id"),
         F.col(ts_col).alias("ts"),
         F.coalesce(trigger.cast("boolean"), F.lit(False)).alias("is_trigger"),
     )
+    if candidates is not None:
+        cand = candidates.select(
+            F.col(candidates.columns[0]).cast("string").alias("conv_id")
+        ).distinct()
+        prepared = prepared.join(F.broadcast(cand), on="conv_id", how="leftsemi")
     return prepared.groupBy("conv_id").applyInPandasWithState(
         _make_escalation_fn(gap_seconds, min_triggers),
         outputStructType=OUTPUT_SCHEMA,

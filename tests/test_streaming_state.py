@@ -293,3 +293,68 @@ def test_snapshot_expiry(spark, tmp_path):
     assert store.read(spark).count() == 40
     # time-travel within the retained window still works
     assert store.read(spark, before_batch=7).count() == 35
+
+
+def test_streaming_escalation_with_candidate_prefilter(spark, tmp_path):
+    """The candidates semi-join (group-count bound for dense inputs) must
+    leave the output IDENTICAL to the unfiltered operator when the set
+    over-approximates convs-with-triggers — a candidate conversation
+    keeps all its turns, a non-candidate one can never escalate."""
+    from osprey_spark.streaming.escalation_state import streaming_escalation_sessions
+
+    input_dir = str(tmp_path / "esc_in")
+    t = T0
+    m = datetime.timedelta(minutes=1)
+    rows1 = [
+        ("a", 0, "user", "x", "", t),
+        ("a", 1, "user", "err", "error", t + m),
+        ("b", 0, "user", "x", "", t),  # never triggers → not a candidate
+    ]
+    rows2 = [
+        ("a", 2, "user", "err", "error", t + 2 * m),
+        ("a", 3, "user", "err", "error", t + datetime.timedelta(hours=2)),
+        ("a", 4, "user", "err", "error", t + datetime.timedelta(hours=2) + m),
+    ]
+    spark.createDataFrame(rows1, TSCHEMA).coalesce(1).write.parquet(input_dir)
+    spark.createDataFrame(rows2, TSCHEMA).coalesce(1).write.mode("append").parquet(input_dir)
+
+    # the JVM-side candidate index: convs with >= 1 trigger turn
+    candidates = (
+        spark.read.parquet(input_dir)
+        .filter(F.col("tool") == "error")
+        .select("conv_id")
+        .distinct()
+    )
+    assert [r["conv_id"] for r in candidates.collect()] == ["a"]
+
+    stream = (
+        spark.readStream.schema(TSCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = streaming_escalation_sessions(
+        stream,
+        trigger=F.col("tool") == "error",
+        gap_seconds=1800,
+        min_triggers=2,
+        candidates=candidates,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("esc_pref_out")
+        .option("checkpointLocation", str(tmp_path / "esc_pref_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        spark.sql("SELECT * FROM esc_pref_out").collect(), key=lambda r: r["escalated_at"]
+    )
+    # identical to test_streaming_escalation_sessions' expected output
+    assert [(r["conv_id"], r["n_triggers"]) for r in got] == [("a", 2), ("a", 2)]
+    assert got[0]["session_start"] == t
+    assert got[0]["escalated_at"] == t + 2 * m
+    assert got[0]["n_turns"] == 3  # the trigger-free turn 0 still counted
+    assert got[1]["session_start"] == t + datetime.timedelta(hours=2)

@@ -205,30 +205,47 @@ def main() -> None:
         )
         print([l for l in gen.stdout.splitlines() if l.startswith("GENERATED")])
 
-    # PAIRED attempts, adjacent in time: efficiency compares two
-    # absolute throughputs, so measuring local[N] in a fast ambient
-    # window and local[4N] in a slow one (or vice versa) corrupts the
-    # ratio in either direction — this host's effective speed drifts
-    # 2x between windows with zero steal. Each attempt runs both levels
-    # back-to-back and yields ONE efficiency; the best pair is reported
-    # together with its machine-envelope normalization.
-    attempts = int(os.environ.get("SCALING_ATTEMPTS", "3"))
+    # MEDIAN-OF-K ENVELOPE-GATED PAIRS (round-4 protocol, replacing
+    # round 3's best-of-3): efficiency compares two absolute
+    # throughputs, so measuring local[N] in a fast ambient window and
+    # local[4N] in a slow one (or vice versa) corrupts the ratio in
+    # either direction — this host's effective speed drifts 2x between
+    # windows with zero steal. Each attempt runs both levels
+    # back-to-back and yields ONE efficiency, tagged with the
+    # machine-envelope ratio over the same two windows (pure-CPU sha256
+    # calibration). A pair is ACCEPTED only when its envelope ratio is
+    # within [0.9, 1.1] — i.e. the machine itself was comparably fast in
+    # both windows, so the pair measures the ENGINE. Attempts continue
+    # until ``SCALING_ACCEPTED_PAIRS`` (default 3) pairs are accepted
+    # (bounded by SCALING_ATTEMPTS_MAX); the reported number is the
+    # MEDIAN of accepted pairs — reproducible, not selected.
+    need = int(os.environ.get("SCALING_ACCEPTED_PAIRS", "3"))
+    attempts_max = int(os.environ.get("SCALING_ATTEMPTS_MAX", "8"))
     ratio = n_large / n_small
-    pairs = []
-    for i in range(attempts):
+    pairs, accepted = [], []
+    for i in range(attempts_max):
         small = run_level(input_dir, n_small)
         large = run_level(input_dir, n_large)
         eff = (large["rows_per_sec"] / small["rows_per_sec"]) / ratio
         env_eff = large["envelope_per_core"] / small["envelope_per_core"]
-        pairs.append({"small": small, "large": large, "eff": eff, "env_eff": env_eff})
+        ok = 0.9 <= env_eff <= 1.1
+        pair = {"small": small, "large": large, "eff": eff, "env_eff": env_eff, "accepted": ok}
+        pairs.append(pair)
+        if ok:
+            accepted.append(pair)
         print(json.dumps({
             "attempt": i, "eff": round(eff, 3),
             "machine_envelope_eff": round(env_eff, 3),
+            "accepted": ok,
             "normalized_eff": round(eff / env_eff, 3),
             f"local[{n_small}]": round(small["rows_per_sec"]),
             f"local[{n_large}]": round(large["rows_per_sec"]),
         }), flush=True)
-    best = max(pairs, key=lambda p: p["eff"])
+        if len(accepted) >= need:
+            break
+    pool = accepted if accepted else pairs  # no clean window at all → report honestly
+    ranked = sorted(pool, key=lambda p: p["eff"])
+    best = ranked[(len(ranked) - 1) // 2]  # the median pair
     small, large, efficiency = best["small"], best["large"], best["eff"]
     summary = {
         "input_rows": small["rows"],
@@ -240,9 +257,13 @@ def main() -> None:
         "machine_envelope_eff": round(best["env_eff"], 3),
         "normalized_eff": round(efficiency / best["env_eff"], 3),
         "meets_0.8_target": efficiency >= 0.8,
+        "protocol": "median of envelope-gated pairs (accept iff 0.9 <= envelope <= 1.1)",
+        "accepted_pairs": len(accepted),
+        "accepted_effs": [round(p["eff"], 3) for p in accepted],
         "steal_pct_small": small.get("steal_pct"),
         "steal_pct_large": large.get("steal_pct"),
         "all_attempt_effs": [round(p["eff"], 3) for p in pairs],
+        "all_envelope_effs": [round(p["env_eff"], 3) for p in pairs],
         # noise-immune engine metric: total JVM CPU per identical job.
         # 1.0 = the plan burns the same CPU at N and 4N threads (no
         # parallelism overhead); wall gaps beyond this are the machine.
@@ -267,8 +288,12 @@ def main() -> None:
             f"| local[{n_large}] | {large['rows_per_sec']:,.0f} | {large['sec']:.3f} | "
             f"{large.get('steal_pct', '—')} |\n\n"
             f"- scaling efficiency = T({n_large}) / ({ratio:.0f} x T({n_small})) = "
-            f"{efficiency:.3f} ({'MET' if efficiency >= 0.8 else 'NOT MET'} vs 0.8); "
-            f"all paired attempts: {[round(p['eff'], 3) for p in pairs]}\n"
+            f"{efficiency:.3f} ({'MET' if efficiency >= 0.8 else 'NOT MET'} vs 0.8) — "
+            f"MEDIAN of {len(accepted)} envelope-gated pairs (accept iff machine "
+            f"envelope in [0.9, 1.1]); accepted: "
+            f"{[round(p['eff'], 3) for p in accepted]}; all attempts "
+            f"(eff, envelope): "
+            f"{[(round(p['eff'], 3), round(p['env_eff'], 3)) for p in pairs]}\n"
             f"- machine envelope over the same windows (pure-CPU sha256 calibration, "
             f"per-core at {n_large} vs {n_small} procs): {best['env_eff']:.3f} → "
             f"envelope-normalized efficiency {efficiency / best['env_eff']:.3f}\n"

@@ -104,8 +104,21 @@ if _os.environ.get("FULL_STACK_ESC", "1") != "0":
         .parquet({input_dir!r})
         .withWatermark("ts", "30 minutes")
     )
+    # candidate pre-filter (default on; FULL_STACK_ESC_PREFILTER=0 for the
+    # unfiltered baseline): the cheap JVM-side index of convs with >= 1
+    # trigger turn, semi-joined before the stateful operator so Python
+    # group dispatch is bounded by trigger density, not conv density.
+    # Exactness contract documented on streaming_escalation_sessions.
+    cand = None
+    if _os.environ.get("FULL_STACK_ESC_PREFILTER", "1") != "0":
+        cand = (
+            spark.read.parquet({input_dir!r})
+            .filter(F.col("text").contains("hello"))
+            .select("conv_id").distinct()
+        )
     esc = streaming_escalation_sessions(
-        esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0, min_triggers=2
+        esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0,
+        min_triggers=2, candidates=cand,
     )
     q2 = (
         esc.writeStream.format("noop")
