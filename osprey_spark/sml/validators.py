@@ -268,6 +268,7 @@ class Validator:
         self.labels_config = None
         self.feature_entity_types: dict[str, str] = {}
         self.rule_descriptions: dict[str, str] = {}
+        self.experiments: dict[str, dict] = {}
 
     # -- entry points ---------------------------------------------------------
 
@@ -294,6 +295,8 @@ class Validator:
         self._collect_rule_descriptions()
         self._check_dynamic_annotations()
         self._check_labels()
+        self._check_call_rvalues()
+        self._check_experiments()
         for path in self.roots:
             self._check_types(path)
         return self.entries
@@ -675,6 +678,168 @@ class Validator:
                                     )
                                 ],
                             )
+
+    # -- pass: call r-values (validate_call_rvalue.py) --------------------------
+
+    # statement-only constructs: no return value (the reference models
+    # these as UDFs whose has_result() is False)
+    _NO_RESULT = ("WhenRules", "Import", "Require")
+
+    def _check_call_rvalues(self) -> None:
+        """ValidateCallRValue (reference validate_call_rvalue.py:7-66):
+        a call WITH a result must not be a bare statement (its value
+        would be silently dropped); a call WITHOUT a result (WhenRules /
+        Import / Require) must not be stored or nested in an
+        expression."""
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                if isinstance(stmt, g.ExprStatement):
+                    call = stmt.call
+                    if call.func in self._NO_RESULT or call.func not in self.udf_returns:
+                        # unknown funcs are reported by the type pass
+                        pass
+                    else:
+                        self._error(
+                            "you must use the result of this function call",
+                            call.span,
+                            hint=(
+                                "this must not be used as a statement, e.g.:\n"
+                                f"- `Foo = {call.func}(...)` is OK\n"
+                                f"- `{call.func}(...)` is not OK"
+                            ),
+                        )
+                direct = stmt.value if isinstance(stmt, g.Assign) else None
+                for call in self._calls_of(stmt):
+                    if call.func not in self._NO_RESULT:
+                        continue
+                    if call is direct:
+                        self._error(
+                            "you cannot store the result of this function call "
+                            "because it has no return value",
+                            call.span,
+                            hint=(
+                                "this cannot appear to the right of a `=`, e.g.:\n"
+                                f"- `{call.func}(...)` is OK\n"
+                                f"- `{stmt.target.identifier} = {call.func}(...)` is not OK"
+                            ),
+                        )
+                    elif isinstance(stmt, g.Assign):
+                        self._error(
+                            "you cannot use the result of this function call "
+                            "because it has no return value",
+                            call.span,
+                            hint=(
+                                "this function has no result, and thus its result "
+                                "cannot be used inside an expression"
+                            ),
+                        )
+
+    # -- pass: experiments (validate_experiments.py + experiments.py:50-135) ----
+
+    def _resolve_literal_list(self, node: Optional[g.Node], path: str):
+        """Python list of scalar literals from a kwarg node (Name resolved
+        one layer deep); None when not a resolvable list literal."""
+        if isinstance(node, g.Name):
+            node = self._assign_value.get((path, node.identifier)) or self._assign_value.get(
+                ("", node.identifier)
+            )
+        if not isinstance(node, g.ListLiteral):
+            return None
+        out = []
+        for item in node.items:
+            if isinstance(item, (g.String, g.Number, g.Boolean)):
+                out.append(item.value)
+            else:
+                return None
+        return out
+
+    def _check_experiments(self) -> None:
+        """ValidateExperiments (reference validate_experiments.py:38-75 +
+        the Experiment UDF's own checks, stdlib/udfs/experiments.py:
+        75-135): bucket-count bounds, mandatory 'control' bucket,
+        buckets/bucket_sizes length match, hundredth-percent size
+        precision, per-bucket max of 100/N, non-negative
+        version/revision — and the experiment registry result (name →
+        buckets/sizes/version/revision/entity type) the experiment
+        service reads."""
+        from decimal import Decimal
+        from math import floor
+
+        for path, root in self.roots.items():
+            for stmt in root.statements:
+                if not (
+                    isinstance(stmt, g.Assign)
+                    and isinstance(stmt.value, g.Call)
+                    and stmt.value.func == "Experiment"
+                ):
+                    continue
+                call = stmt.value
+                buckets_node = call.kwargs.get("buckets")
+                sizes_node = call.kwargs.get("bucket_sizes")
+                buckets = self._resolve_literal_list(buckets_node, path)
+                sizes = self._resolve_literal_list(sizes_node, path)
+                for kw in ("version", "revision"):
+                    kw_node = call.kwargs.get(kw)
+                    if isinstance(kw_node, g.Number) and kw_node.value < 0:
+                        self._error(
+                            f"experiment {kw} must be zero or greater", kw_node.span
+                        )
+                if buckets is None or sizes is None:
+                    continue  # kwarg pass reports non-const shapes
+                bspan = buckets_node.span if buckets_node is not None else call.span
+                sspan = sizes_node.span if sizes_node is not None else call.span
+                if not (1 <= len(buckets) <= 10):
+                    self._error(
+                        "number of experiment buckets must be between 1 and 10 "
+                        "inclusive",
+                        bspan,
+                    )
+                    continue
+                if "control" not in buckets:
+                    self._error("'control' must be one of the buckets", bspan)
+                if len(buckets) != len(sizes):
+                    self._error(
+                        "buckets and bucket_sizes must have the same number of "
+                        "elements",
+                        sspan,
+                    )
+                    continue
+                # sizes are percentages over a granularity of 10000 units
+                # (hundredth of a percent); each must be representable and
+                # no larger than 100/N rounded down to a hundredth
+                max_units = floor(10000 / len(buckets))
+                for pct in sizes:
+                    units = Decimal(str(pct)) * 100
+                    if floor(units) != units:
+                        self._error(
+                            "experiment bucket size precision is too high",
+                            sspan,
+                            hint="the precision can be at most the hundredth "
+                            "decimal place",
+                        )
+                    elif units > max_units:
+                        self._error(
+                            f"{pct} is over the current max of {max_units / 100}",
+                            sspan,
+                            hint="max percentage size of each bucket is "
+                            "100/(# of buckets) rounded down to the nearest "
+                            "hundredth decimal place",
+                        )
+                ent = call.kwargs.get("entity")
+                self.experiments[stmt.target.identifier] = {
+                    "name": stmt.target.identifier,
+                    "buckets": buckets,
+                    "bucket_sizes": [float(x) for x in sizes],
+                    "version": int(
+                        call.kwargs["version"].value
+                    ) if isinstance(call.kwargs.get("version"), g.Number) else 0,
+                    "revision": int(
+                        call.kwargs["revision"].value
+                    ) if isinstance(call.kwargs.get("revision"), g.Number) else 0,
+                    "experiment_type": self.feature_entity_types.get(ent.identifier)
+                    if isinstance(ent, g.Name)
+                    else None,
+                }
 
     # -- pass 4: no unused locals (no_unused_locals.py:7) -----------------------
 

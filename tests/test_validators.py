@@ -566,3 +566,78 @@ def test_reject_goldens_r4(name, sources, needles, golden_check):
     for needle in needles:
         assert needle in out, f"{name}: {needle!r} not in rendering"
     golden_check(f"validators/{name}.txt", out)
+
+
+# --- round 4b: call r-values + experiments -------------------------------------
+
+
+def test_validator_exposes_experiments():
+    from osprey_spark.sml.validators import Validator
+
+    v = Validator({"main.sml": (
+        "U: Entity[str] = EntityJson(type='User', path='$.uid')\n"
+        "Exp = Experiment(entity=U, buckets=['control', 'treat'],"
+        " bucket_sizes=[50, 50], version=2, revision=1)\n"
+    )})
+    assert v.run() == []
+    assert v.experiments == {"Exp": {
+        "name": "Exp", "buckets": ["control", "treat"],
+        "bucket_sizes": [50.0, 50.0], "version": 2, "revision": 1,
+        "experiment_type": "User",
+    }}
+
+
+GOLDEN_REJECTS_R4B = [
+    (
+        "exp_missing_control",
+        {"main.sml": "U: Entity[str] = EntityJson(type='User', path='$.u')\n"
+                     "E = Experiment(entity=U, buckets=['a', 'b'], bucket_sizes=[50, 50])\n"},
+        ["'control' must be one of the buckets"],
+    ),
+    (
+        "exp_size_over_max",
+        {"main.sml": "U: Entity[str] = EntityJson(type='User', path='$.u')\n"
+                     "E = Experiment(entity=U, buckets=['control', 'treat'], bucket_sizes=[60, 40])\n"},
+        ["60 is over the current max of 50.0",
+         "max percentage size of each bucket is 100/(# of buckets)"],
+    ),
+    (
+        "exp_precision_too_high",
+        {"main.sml": "U: Entity[str] = EntityJson(type='User', path='$.u')\n"
+                     "E = Experiment(entity=U, buckets=['control', 'treat'], bucket_sizes=[33.333, 49.0])\n"},
+        ["experiment bucket size precision is too high",
+         "hundredth decimal place"],
+    ),
+    (
+        "exp_length_mismatch_and_negative_version",
+        {"main.sml": "U: Entity[str] = EntityJson(type='User', path='$.u')\n"
+                     "E = Experiment(entity=U, buckets=['control', 'b'], bucket_sizes=[50], version=-1)\n"},
+        ["experiment version must be zero or greater",
+         "buckets and bucket_sizes must have the same number of elements"],
+    ),
+    (
+        "rvalue_bare_rule_statement",
+        {"main.sml": "Rule(when_all=[], description='d')\n"},
+        ["you must use the result of this function call",
+         "`Foo = Rule(...)` is OK"],
+    ),
+    (
+        "rvalue_stored_whenrules",
+        {"main.sml": "X = WhenRules(rules_any=[], then=[])\n"},
+        ["you cannot store the result of this function call because it has "
+         "no return value",
+         "`X = WhenRules(...)` is not OK"],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,sources,needles", GOLDEN_REJECTS_R4B, ids=[c[0] for c in GOLDEN_REJECTS_R4B]
+)
+def test_reject_goldens_r4b(name, sources, needles, golden_check):
+    with pytest.raises(ValidationFailed) as ei:
+        validate_sources(sources)
+    out = ei.value.rendered
+    for needle in needles:
+        assert needle in out, f"{name}: {needle!r} not in rendering"
+    golden_check(f"validators/{name}.txt", out)
