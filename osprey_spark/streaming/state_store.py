@@ -59,10 +59,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _PART = "__state_part"
+# Write-generation column, STAMPED INTO THE DATA at write time (a
+# literal, so it costs nothing at scan). Deriving it from the file path
+# via input_file_name() instead would mark the projection
+# non-deterministic and BLOCK predicate pushdown through the MOR
+# resolution aggregate — a per-label read would then scan the whole
+# state table (measured: the key-filter sat above the scan with no
+# PushedFilters).
 GEN_COL = "__state_gen"
 _GEN_DIR_RE = re.compile(r"^d\d+x?$")
-# gen id from a data-file path: .../d<v>[x]/__state_part=<b>/part-*.parquet
-_GEN_FROM_PATH = rf"/d(\d+)x?/{_PART}="
 
 
 def latest_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -149,13 +154,10 @@ class HashPartitionedStateStore:
     def _empty(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame([], self.schema)
 
-    def _with_gen(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            GEN_COL, F.regexp_extract(F.input_file_name(), _GEN_FROM_PATH, 1).cast("long")
-        )
+    def _data_schema(self) -> str:
+        return f"{self.schema}, {GEN_COL} long"
 
     def _resolve(self, df: DataFrame) -> DataFrame:
-        df = self._with_gen(df)
         if self.resolve_fn is not None:
             return self.resolve_fn(df)
         return latest_wins(df, self.key_cols)
@@ -167,11 +169,11 @@ class HashPartitionedStateStore:
         paths = [os.path.join(self.path, rel) for rels in entries.values() for rel in rels]
         if not paths:
             return self._empty(spark)
-        df = spark.read.schema(self.schema).parquet(*paths)
+        df = spark.read.schema(self._data_schema()).parquet(*paths)
         if any(len(rels) > 1 for rels in entries.values()):
             # merge-on-read: some bucket carries un-compacted deltas
-            df = self._resolve(df)
-        return df
+            return self._resolve(df)
+        return df.drop(GEN_COL)
 
     def read(
         self, spark: SparkSession, before_batch: Optional[int] = None
@@ -216,7 +218,8 @@ class HashPartitionedStateStore:
         v = self.current_version() + 1
         gen_dir = f"d{v}"
         (
-            delta.withColumn(_PART, self._part_of())
+            delta.withColumn(GEN_COL, F.lit(v))
+            .withColumn(_PART, self._part_of())
             .repartition(min(self.num_partitions, 32), F.col(_PART))
             .write.partitionBy(_PART)
             .mode("overwrite")
@@ -249,12 +252,13 @@ class HashPartitionedStateStore:
         if over:
             cdir = f"d{v}x"
             folded = self._resolve(
-                spark.read.schema(self.schema).parquet(
+                spark.read.schema(self._data_schema()).parquet(
                     *[os.path.join(self.path, rel) for b in over for rel in manifest[b]]
                 )
             )
             (
-                folded.withColumn(_PART, self._part_of())
+                folded.withColumn(GEN_COL, F.lit(v))
+                .withColumn(_PART, self._part_of())
                 .repartition(min(len(over), 32), F.col(_PART))
                 .write.partitionBy(_PART)
                 .mode("overwrite")
@@ -324,7 +328,8 @@ class HashPartitionedStateStore:
         v = self.current_version() + 1
         gen_dir = f"d{v}"
         (
-            merged.withColumn(_PART, self._part_of())
+            merged.withColumn(GEN_COL, F.lit(v))
+            .withColumn(_PART, self._part_of())
             .repartition(min(len(dirty), 32), F.col(_PART))
             .write.partitionBy(_PART)
             .mode("overwrite")

@@ -104,3 +104,44 @@ def test_no_interpreted_hofs_in_dedup_plans(spark):
         assert "zip_with" not in plan, f"{name}: interpreted zip_with in plan"
         assert "aggregate(" not in plan, f"{name}: interpreted aggregate HOF in plan"
         assert "ArrowEvalPython" in plan  # the vectorized path is present
+
+
+def test_mor_read_pushes_key_filters_below_resolution(spark, tmp_path):
+    """Merge-on-read reads resolve base+deltas with a groupBy on the key
+    columns; a per-label HasLabel read filters on (entity_type,
+    label_name) — GROUPING columns — so Catalyst must push those
+    predicates below the resolution aggregate all the way into the
+    parquet scan. Without that, every label lookup would scan the whole
+    label table at 100 TB."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from osprey_spark.streaming.label_state import LabelStateStore
+
+    store = LabelStateStore(str(tmp_path / "labels"), num_partitions=4)
+    T0 = datetime.datetime(2024, 1, 1)
+    MS = ("entity_type string, entity_id string, label_name string, "
+          "status int, event_ts timestamp, expires_ts timestamp")
+    for b in range(3):  # 3 un-compacted delta generations → read resolves
+        rows = [("User", f"u{i}", "bad" if i % 2 else "ok", 1,
+                 T0 + datetime.timedelta(minutes=b), None) for i in range(10)]
+        store.apply_mutations(spark.createDataFrame(rows, MS), batch_id=b)
+
+    df = store.read(spark).filter(
+        (F.col("entity_type") == "User") & (F.col("label_name") == "bad")
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # resolution aggregate is present (deltas un-compacted)...
+    assert "max_by" in plan
+    # ...and the key predicates reached the parquet scan anyway (this is
+    # why __state_gen is a stamped data column: deriving it from
+    # input_file_name() marks the projection non-deterministic and pins
+    # the filter ABOVE the scan — measured before the fix)
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "EqualTo(entity_type,User)" in pushed
+    assert "EqualTo(label_name,bad)" in pushed
+    # partial aggregation survives (map-side combine before the exchange)
+    assert "partial_max_by" in plan

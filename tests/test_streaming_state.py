@@ -358,3 +358,66 @@ def test_streaming_escalation_with_candidate_prefilter(spark, tmp_path):
     assert got[0]["escalated_at"] == t + 2 * m
     assert got[0]["n_turns"] == 3  # the trigger-free turn 0 still counted
     assert got[1]["session_start"] == t + datetime.timedelta(hours=2)
+
+
+def test_tws_escalation_matches_apply_in_pandas(spark, tmp_path):
+    """The transformWithStateInPandas implementation (Spark 4 arbitrary
+    state API, RocksDB provider) must produce rows identical to the
+    applyInPandasWithState operator on the same input — same sessions,
+    same crossing-turn emission, same new-session split."""
+    from osprey_spark.streaming.escalation_tws import streaming_escalation_sessions_tws
+
+    input_dir = str(tmp_path / "esc_in")
+    t = T0
+    m = datetime.timedelta(minutes=1)
+    rows1 = [
+        ("a", 0, "user", "x", "", t),
+        ("a", 1, "user", "err", "error", t + m),
+        ("b", 0, "user", "x", "", t),
+    ]
+    rows2 = [
+        ("a", 2, "user", "err", "error", t + 2 * m),
+        ("a", 3, "user", "err", "error", t + datetime.timedelta(hours=2)),
+        ("a", 4, "user", "err", "error", t + datetime.timedelta(hours=2) + m),
+    ]
+    spark.createDataFrame(rows1, TSCHEMA).coalesce(1).write.parquet(input_dir)
+    spark.createDataFrame(rows2, TSCHEMA).coalesce(1).write.mode("append").parquet(input_dir)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(TSCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+            .withWatermark("ts", "10 minutes")
+        )
+        out = streaming_escalation_sessions_tws(
+            stream, trigger=F.col("tool") == "error", gap_seconds=1800, min_triggers=2
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("esc_tws_out")
+            .option("checkpointLocation", str(tmp_path / "esc_tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = sorted(
+        spark.sql("SELECT * FROM esc_tws_out").collect(), key=lambda r: r["escalated_at"]
+    )
+    # identical to the applyInPandasWithState expectations
+    assert [(r["conv_id"], r["n_triggers"]) for r in got] == [("a", 2), ("a", 2)]
+    assert got[0]["session_start"] == t
+    assert got[0]["escalated_at"] == t + 2 * m
+    assert got[0]["n_turns"] == 3
+    assert got[1]["session_start"] == t + datetime.timedelta(hours=2)
