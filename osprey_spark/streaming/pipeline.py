@@ -79,7 +79,18 @@ class RuleStreamPipeline:
         extra_sinks: Optional[list[Callable[[DataFrame, int], None]]] = None,
         console: bool = False,
         validate: bool = True,
+        maintenance_every: int = 16,
+        keep_versions: int = 8,
+        label_max_delta_files: int = 8,
     ):
+        """``maintenance_every``: every N committed batches, expire state
+        snapshots unreachable from the newest ``keep_versions`` manifests
+        (the Iceberg table-maintenance analog) — without it a long-lived
+        stream's state directory grows one generation per batch forever.
+        ``keep_versions`` must cover the replay window (the pipeline
+        replays at most the last un-marked batch, so any value ≥ 2 is
+        safe; the default keeps a deeper time-travel margin). 0 disables
+        maintenance."""
         if validate:
             # the rule-authoring surface rejects what the reference's
             # ast_validator rejects (typed errors with source spans)
@@ -99,8 +110,16 @@ class RuleStreamPipeline:
         self.console = console
         self.key_col = key_col
         self.salt_buckets = salt_buckets
+        self.maintenance_every = maintenance_every
+        self.keep_versions = keep_versions
         self.sink = IdempotentParquetSink(os.path.join(workdir, "results"))
-        self.labels = LabelStateStore(os.path.join(workdir, "labels"))
+        # label_max_delta_files bounds MOR read amplification per bucket
+        # (lazy compaction past it); together with snapshot expiry it also
+        # bounds DISK: delta generations stay live until compaction folds
+        # them, after which expiry reclaims the superseded files
+        self.labels = LabelStateStore(
+            os.path.join(workdir, "labels"), max_delta_files=label_max_delta_files
+        )
         self.checkpoint = os.path.join(workdir, "checkpoint")
         # verdict counts are additive, so merge-on-read resolution is a
         # plain SUM over base+delta rows — each batch appends only its
@@ -276,6 +295,27 @@ class RuleStreamPipeline:
                     )
         finally:
             out.unpersist()
+        self._maybe_expire_state(batch_id)
+
+    def _maybe_expire_state(self, batch_id: int) -> None:
+        """Periodic state-table maintenance (Iceberg expire_snapshots
+        analog), AFTER the batch's commit marker: old generations are
+        deleted only past ``keep_versions`` manifests, which covers the
+        replay window, and a maintenance failure must never poison a
+        committed batch."""
+        if not self.maintenance_every:
+            return
+        if batch_id % self.maintenance_every != self.maintenance_every - 1:
+            return
+        try:
+            self.labels.store.expire_snapshots(keep_versions=self.keep_versions)
+            self.verdict_state.expire_snapshots(keep_versions=self.keep_versions)
+        except Exception:  # noqa: BLE001 — maintenance is best-effort
+            import logging
+
+            logging.getLogger(__name__).exception(
+                "state snapshot expiry failed (batch %s)", batch_id
+            )
 
     # -- stream wiring -------------------------------------------------------
 

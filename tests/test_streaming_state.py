@@ -421,3 +421,40 @@ def test_tws_escalation_matches_apply_in_pandas(spark, tmp_path):
     assert got[0]["escalated_at"] == t + 2 * m
     assert got[0]["n_turns"] == 3
     assert got[1]["session_start"] == t + datetime.timedelta(hours=2)
+
+
+def test_pipeline_periodic_snapshot_expiry(spark, tmp_path):
+    """A long-lived stream must not leak state generations: with
+    maintenance_every=2, old label-state generations unreachable from
+    the newest keep_versions manifests are deleted as batches commit,
+    while current reads stay intact."""
+    import glob as _glob
+
+    pipe = RuleStreamPipeline(
+        spark,
+        RULES_HASLABEL_MUTATION,
+        str(tmp_path / "p"),
+        maintenance_every=2,
+        keep_versions=2,
+        label_max_delta_files=2,  # compact aggressively so deltas fold
+    )
+    m = datetime.timedelta(minutes=1)
+    for b in range(8):
+        # SAME conversation every batch: one hot bucket accumulating
+        # delta files → lazy compaction folds them → expiry reclaims the
+        # superseded generations
+        df = spark.createDataFrame(
+            [("c0", b, "user", "hello", "", T0 + b * m)], TSCHEMA
+        )
+        pipe.process_batch(df, b)
+    labels_dir = str(tmp_path / "p" / "labels")
+    manifests = _glob.glob(labels_dir + "/manifest_v*.json")
+    gens = [d for d in _glob.glob(labels_dir + "/d*") if "/d" in d]
+    # 8 batches committed, but only the retained window survives on disk:
+    # manifests beyond keep_versions are deleted, and generations folded
+    # away by compaction are reclaimed (NOT one dir per batch forever)
+    assert len(manifests) <= 3
+    assert len(gens) < 8
+    # and the state is fully readable after maintenance
+    rows = pipe.labels.read(spark).collect()
+    assert {r["label_name"] for r in rows} == {"flagged", "escalated"}
