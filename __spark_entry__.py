@@ -376,6 +376,71 @@ FROM events e LEFT JOIN first_err f ON CAST(e.user_id AS VARCHAR) = f.uid
 """
 
 
+def _haslabel_multi_reason(spark, sf_dir):
+    """HasLabel over MULTI-REASON label state (reference stdlib/udfs/
+    labels.py:215-252, fixed in round 4 per ADVICE): EVERY 'error' event
+    of a user is a separate reason for label 'errored' (created_at=ts,
+    expires 14 days later). A label is expired only when ALL reasons are
+    expired, and min_label_age is judged from the OLDEST reason still
+    live at each event's own timestamp — resolved through the compiler's
+    default multi-reason collapse (the exact path the old latest-row
+    collapse got wrong)."""
+    from osprey_spark.sml import RulesetCompiler
+
+    df = _events(spark, sf_dir)
+    label_state = (
+        df.filter(F.col("event_type") == "error")
+        .select(
+            F.lit("User").alias("entity_type"),
+            F.col("user_id").cast("string").alias("entity_id"),
+            F.lit("errored").alias("label_name"),
+            F.lit(1).alias("status"),
+            F.col("ts").alias("created_at"),
+            (F.col("ts") + F.expr("INTERVAL 14 DAYS")).alias("expires_ts"),
+            F.col("ts").alias("apply_at"),
+        )
+    )
+    sml = {
+        "main.sml": """
+U: Entity[str] = EntityJson(type='User', path='$.user_id')
+Flagged = HasLabel(entity=U, label='errored')
+Seasoned = HasLabel(entity=U, label='errored', min_label_age=TimeDelta(hours=48))
+Clean = HasLabel(entity=U, label='errored', status='removed')
+"""
+    }
+    plan = RulesetCompiler(
+        sml,
+        input_schema=df.schema,
+        action_name_col="event_type",
+        timestamp_col="ts",
+        data_json_col="props",
+    ).compile()
+    out = plan.apply(df, passthrough=["event_id"], label_state=label_state)
+    return out.select("event_id", "Flagged", "Seasoned", "Clean")
+
+
+_HASLABEL_MULTI_REASON_ORACLE = """
+WITH reasons AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid, ts AS created,
+         ts + INTERVAL 14 DAY AS expires
+  FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id,
+  EXISTS(SELECT 1 FROM reasons r
+         WHERE r.uid = CAST(e.user_id AS VARCHAR) AND r.expires > e.ts)
+    AS Flagged,
+  COALESCE(
+    epoch(e.ts) - epoch((SELECT min(r.created) FROM reasons r
+                         WHERE r.uid = CAST(e.user_id AS VARCHAR)
+                           AND r.expires > e.ts)) > 172800,
+    false) AS Seasoned,
+  NOT EXISTS(SELECT 1 FROM reasons r
+             WHERE r.uid = CAST(e.user_id AS VARCHAR) AND r.expires > e.ts)
+    AS Clean
+FROM events e
+"""
+
+
 def _distinct_users(spark, sf_dir):
     return (
         _events(spark, sf_dir)
@@ -1082,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_pop": _topn_pop,
         "topn_value_bucketed": _topn_value_bucketed,
         "haslabel_reputation": _haslabel_reputation,
+        "haslabel_multi_reason": _haslabel_multi_reason,
         "distinct_users_by_type": _distinct_users,
         "approx_distinct_users": _approx_distinct,
         "scan_page": _scan_page,
@@ -1120,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "topn_pop": _TOPN_POP_ORACLE,
         "topn_value_bucketed": _TOPN_BUCKETED_ORACLE,
         "haslabel_reputation": _HASLABEL_REPUTATION_ORACLE,
+        "haslabel_multi_reason": _HASLABEL_MULTI_REASON_ORACLE,
         "distinct_users_by_type": _DISTINCT_USERS_ORACLE,
         "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
         "scan_page": _SCAN_ORACLE,
