@@ -112,8 +112,77 @@ class _EscalationProcessor(StatefulProcessor):
         self.sess.clear()
         yield pd.DataFrame(columns=_COLS)
 
+    def handleInitialState(self, key: tuple, initialState, timerValues: TimerValues) -> None:
+        # bootstrap (first batch only): seed the open session migrated
+        # from history — see escalation_bootstrap_state — so a redeploy
+        # continues sessions without replaying the backlog
+        row = initialState.iloc[0] if hasattr(initialState, "iloc") else initialState
+        last_ts = float(row["last_ts"])
+        self.sess.update(
+            (
+                float(row["session_start"]),
+                last_ts,
+                int(row["n_turns"]),
+                int(row["n_triggers"]),
+                bool(row["emitted"]),
+            )
+        )
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        self.handle.registerTimer(
+            max(int((last_ts + self.gap_seconds) * 1000), wm_ms + 1)
+        )
+
     def close(self) -> None:
         pass
+
+
+def escalation_bootstrap_state(
+    history: DataFrame,
+    trigger: Column,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    min_triggers: int = 2,
+) -> DataFrame:
+    """Each conversation's LAST session in ``history``, shaped as the
+    escalation operator's keyed state — pass as ``initial_state`` to
+    :func:`streaming_escalation_sessions_tws` so a (re)deployed stream
+    CONTINUES open sessions instead of replaying the 10^12-turn backlog.
+
+    Built JVM-side: one ``session_window`` aggregation (map-side partial
+    combine) + a per-conv ``max_by`` — no Python. ``emitted`` is True
+    when the session already crossed ``min_triggers`` in history, so the
+    stream will not re-alert for it (once-per-session contract).
+
+    Boundary note: ``session_window`` splits at an event-time gap of
+    EXACTLY ``gap_seconds`` where the streaming fold merges (strict
+    ``>`` there) — an irrelevant knife-edge for real timestamps, called
+    out for exactness."""
+    prepared = history.select(
+        F.col(key).alias("conv_id"),
+        F.col(ts_col).alias("ts"),
+        F.coalesce(trigger.cast("boolean"), F.lit(False)).alias("is_trigger"),
+    )
+    sess = prepared.groupBy(
+        "conv_id", F.session_window("ts", f"{int(gap_seconds)} seconds")
+    ).agg(
+        F.min("ts").alias("_start"),
+        F.max("ts").alias("_last"),
+        F.count(F.lit(1)).alias("_n_turns"),
+        F.sum(F.col("is_trigger").cast("long")).alias("_n_triggers"),
+    )
+    payload = F.struct(
+        F.col("_start").cast("timestamp").cast("double").alias("session_start"),
+        F.col("_last").cast("timestamp").cast("double").alias("last_ts"),
+        F.col("_n_turns").alias("n_turns"),
+        F.col("_n_triggers").alias("n_triggers"),
+        (F.col("_n_triggers") >= min_triggers).alias("emitted"),
+    )
+    return (
+        sess.groupBy("conv_id")
+        .agg(F.max_by(payload, F.col("_last")).alias("_s"))
+        .select("conv_id", "_s.*")
+    )
 
 
 def streaming_escalation_sessions_tws(
@@ -124,13 +193,17 @@ def streaming_escalation_sessions_tws(
     gap_seconds: float = 1800.0,
     min_triggers: int = 2,
     candidates: "DataFrame | None" = None,
+    initial_state: "DataFrame | None" = None,
 ) -> DataFrame:
     """transformWithStateInPandas twin of
     :func:`osprey_spark.streaming.escalation_state.streaming_escalation_sessions`
     — identical output contract. Requires the RocksDB state store
     provider (set ``spark.sql.streaming.stateStore.providerClass`` to
     ``org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
-    before starting the query)."""
+    before starting the query). ``initial_state``: per-conversation open
+    sessions to seed on the FIRST batch (build with
+    :func:`escalation_bootstrap_state`) — the redeploy-without-replay
+    migration path."""
     prepared = stream.select(
         F.col(key).alias("conv_id"),
         F.col(ts_col).alias("ts"),
@@ -146,4 +219,5 @@ def streaming_escalation_sessions_tws(
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Append",
         timeMode="EventTime",
+        initialState=initial_state.groupBy("conv_id") if initial_state is not None else None,
     )

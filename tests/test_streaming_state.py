@@ -458,3 +458,109 @@ def test_pipeline_periodic_snapshot_expiry(spark, tmp_path):
     # and the state is fully readable after maintenance
     rows = pipe.labels.read(spark).collect()
     assert {r["label_name"] for r in rows} == {"flagged", "escalated"}
+
+
+def test_tws_bootstrap_continues_history_sessions(spark, tmp_path):
+    """Redeploy-without-replay: seed the TWS escalation operator with
+    escalation_bootstrap_state built from history. A conversation with
+    one trigger in HISTORY must escalate on its FIRST streamed trigger,
+    with session_start and n_turns carried over from history — and a
+    session that already alerted in history must not re-alert."""
+    from osprey_spark.streaming.escalation_tws import (
+        escalation_bootstrap_state,
+        streaming_escalation_sessions_tws,
+    )
+
+    t = T0
+    m = datetime.timedelta(minutes=1)
+    # history: conv a has 1 trigger (open session, not yet escalated);
+    # conv b already escalated in history (2 triggers)
+    history = spark.createDataFrame(
+        [
+            ("a", 0, "user", "x", "", t),
+            ("a", 1, "user", "e", "error", t + m),
+            ("b", 0, "user", "e", "error", t),
+            ("b", 1, "user", "e", "error", t + m),
+        ],
+        TSCHEMA,
+    )
+    boot = escalation_bootstrap_state(
+        history, trigger=F.col("tool") == "error", gap_seconds=1800, min_triggers=2
+    )
+    rows = {r["conv_id"]: r for r in boot.collect()}
+    assert rows["a"]["n_triggers"] == 1 and not rows["a"]["emitted"]
+    assert rows["b"]["n_triggers"] == 2 and rows["b"]["emitted"]
+
+    # stream: one more trigger for each conv, still inside the session gap
+    input_dir = str(tmp_path / "boot_in")
+    spark.createDataFrame(
+        [
+            ("a", 2, "user", "e", "error", t + 5 * m),
+            ("b", 2, "user", "e", "error", t + 5 * m),
+        ],
+        TSCHEMA,
+    ).coalesce(1).write.parquet(input_dir)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(TSCHEMA)
+            .parquet(input_dir)
+            .withWatermark("ts", "10 minutes")
+        )
+        out = streaming_escalation_sessions_tws(
+            stream,
+            trigger=F.col("tool") == "error",
+            gap_seconds=1800,
+            min_triggers=2,
+            initial_state=boot,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("esc_boot_out")
+            .option("checkpointLocation", str(tmp_path / "boot_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {r["conv_id"]: r for r in spark.sql("SELECT * FROM esc_boot_out").collect()}
+    # conv a: the streamed trigger is its session's SECOND → escalates,
+    # with history's session_start and all 3 turns counted
+    assert set(got) == {"a"}  # conv b already emitted in history: no re-alert
+    assert got["a"]["session_start"] == t
+    assert got["a"]["escalated_at"] == t + 5 * m
+    assert got["a"]["n_turns"] == 3
+    assert got["a"]["n_triggers"] == 2
+
+
+def test_sum_resolver_survives_compaction(spark, tmp_path):
+    """Additive MOR state (the verdict-count shape): resolution is SUM
+    over base+deltas, and compaction of any file prefix must resolve
+    identically against later deltas (associativity contract of
+    resolve_fn). Forced per-batch compaction vs none → same totals."""
+    for max_delta in (99, 1):
+        store = HashPartitionedStateStore(
+            str(tmp_path / f"s_{max_delta}"),
+            key_cols=["k"],
+            schema="k string, n long",
+            num_partitions=4,
+            max_delta_files=max_delta,
+            resolve_fn=lambda df: df.groupBy("k").agg(F.sum("n").alias("n")),
+        )
+        for b in range(6):
+            delta = spark.createDataFrame(
+                [("a", 1), ("b", 10 if b % 2 else 1)], "k string, n long"
+            )
+            store.merge_append(delta, batch_id=b)
+        got = {r["k"]: r["n"] for r in store.read(spark).collect()}
+        assert got == {"a": 6, "b": 33}  # 10+1+10+1+10+1
