@@ -564,3 +564,55 @@ def test_sum_resolver_survives_compaction(spark, tmp_path):
             store.merge_append(delta, batch_id=b)
         got = {r["k"]: r["n"] for r in store.read(spark).collect()}
         assert got == {"a": 6, "b": 33}  # 10+1+10+1+10+1
+
+
+def test_tws_cep_matches_apply_in_pandas(spark, tmp_path):
+    """The transformWithStateInPandas CEP (ListState out-of-order buffer)
+    must produce rows identical to the applyInPandasWithState operator:
+    same cross-batch completion, same out-of-order independence, same
+    never-completing conversation staying silent."""
+    from osprey_spark.streaming.cep_tws import streaming_match_sequence_tws
+
+    input_dir = str(tmp_path / "cep_in")
+    rows = [
+        # conv a completes across batches — and turn 1 arrives AFTER
+        # turn 2 (out of order); conv b never completes
+        ("a", 0, "tool", "x", "search", datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        ("a", 2, "tool", "x", "send_email", datetime.datetime(2024, 1, 1, 0, 0, 20)),
+        ("b", 0, "tool", "x", "search", datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        ("a", 1, "tool", "x", "code_exec", datetime.datetime(2024, 1, 1, 0, 0, 10)),
+    ]
+    spark.createDataFrame(rows[:2], TSCHEMA).coalesce(1).write.parquet(input_dir)
+    spark.createDataFrame(rows[2:], TSCHEMA).coalesce(1).write.mode("append").parquet(input_dir)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(TSCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input_dir)
+        )
+        steps = [F.col("tool") == s for s in ("search", "code_exec", "send_email")]
+        matched = streaming_match_sequence_tws(stream, steps)
+        q = (
+            matched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cep_tws_out")
+            .option("checkpointLocation", str(tmp_path / "cep_tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = spark.sql("SELECT * FROM cep_tws_out").collect()
+    assert len(got) == 1
+    assert got[0]["conv_id"] == "a" and got[0]["matched_at_turn"] == 2
+    assert got[0]["matched_at_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 20)
