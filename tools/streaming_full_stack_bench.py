@@ -116,10 +116,23 @@ if _os.environ.get("FULL_STACK_ESC", "1") != "0":
             .filter(F.col("text").contains("hello"))
             .select("conv_id").distinct()
         )
-    esc = streaming_escalation_sessions(
-        esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0,
-        min_triggers=2, candidates=cand,
-    )
+    # FULL_STACK_ESC_IMPL=tws runs the transformWithStateInPandas twin
+    # (RocksDB state provider) instead of applyInPandasWithState
+    if _os.environ.get("FULL_STACK_ESC_IMPL", "apply") == "tws":
+        from osprey_spark.streaming.escalation_tws import streaming_escalation_sessions_tws
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        esc = streaming_escalation_sessions_tws(
+            esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0,
+            min_triggers=2, candidates=cand,
+        )
+    else:
+        esc = streaming_escalation_sessions(
+            esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0,
+            min_triggers=2, candidates=cand,
+        )
     q2 = (
         esc.writeStream.format("noop")
         .option("checkpointLocation", wd + "/esc_ckpt")
