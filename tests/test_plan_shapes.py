@@ -145,3 +145,25 @@ def test_mor_read_pushes_key_filters_below_resolution(spark, tmp_path):
     assert "EqualTo(label_name,bad)" in pushed
     # partial aggregation survives (map-side combine before the exchange)
     assert "partial_max_by" in plan
+
+
+def test_fully_compacted_store_read_is_plain_scan(spark, tmp_path):
+    """When every bucket holds a single (compacted or COW) file, read()
+    must skip the MOR resolution entirely — a plain pruned scan with no
+    aggregation, the steady-state HasLabel read cost after compaction."""
+    import datetime
+
+    from osprey_spark.streaming.label_state import LabelStateStore
+
+    store = LabelStateStore(str(tmp_path / "labels"), num_partitions=4, max_delta_files=1)
+    T0 = datetime.datetime(2024, 1, 1)
+    MS = ("entity_type string, entity_id string, label_name string, "
+          "status int, event_ts timestamp, expires_ts timestamp")
+    for b in range(3):  # max_delta_files=1 → every merge compacts
+        rows = [("User", f"u{i}", "bad", 1, T0, None) for i in range(8)]
+        store.apply_mutations(spark.createDataFrame(rows, MS), batch_id=b)
+    plan = store.read(spark)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "max_by" not in plan
+    assert "Aggregate" not in plan  # no resolution: single file per bucket
