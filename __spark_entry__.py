@@ -710,6 +710,46 @@ FROM documents
 """
 
 
+def _text_quality(spark, sf_dir):
+    """Heuristic document quality score (operators/textstats.quality_score):
+    length band + alpha ratio + punctuation ratio + stopword presence +
+    mean word length band, rounded to 4 dp — pure deterministic Column
+    arithmetic, reproduced term-for-term in the DuckDB oracle."""
+    from osprey_spark.operators.textstats import quality_score
+
+    d = _documents(spark, sf_dir)
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+_TEXT_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[\sA-Za-z0-9]', '', 'g')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars,
+    len(toks) AS n_tokens,
+    CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0 THEN CAST(n_chars AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_wlen,
+    len(list_filter(list_distinct(toks), x -> list_contains(
+      ['the','and','of','to','a','in','is','it','that','for','was','with'], x))) AS stop_hits
+  FROM t
+)
+SELECT doc_id, round(
+    (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+  + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE alpha_ratio * 0.25 / 0.6 END)
+  + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE greatest(0.0, 0.25 - (punct_ratio - 0.2)) END)
+  + least(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / least(n_tokens, 12) ELSE 0.0 END, 1.0) * 0.15
+  + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 12 THEN 0.10 ELSE 0.0 END)
+, 4) AS quality
+FROM r
+"""
+
+
 def _lang_id(spark, sf_dir):
     from osprey_spark.operators.textstats import language_id
 
@@ -1169,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash_check,
         "text_token_counts": _token_counts,
+        "text_quality": _text_quality,
         "text_lang_id": _lang_id,
         "sim_cosine_topk": _cosine_topk,
         "sim_knn_join": _knn,
@@ -1208,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _MINHASH_PAIRS_ORACLE,
         "dedup_simhash": _SIMHASH_CHECK_ORACLE,
         "text_token_counts": _TOKEN_COUNTS_ORACLE,
+        "text_quality": _TEXT_QUALITY_ORACLE,
         "text_lang_id": _make_lang_oracle(),
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "sim_knn_join": _KNN_ORACLE,
