@@ -710,6 +710,47 @@ FROM documents
 """
 
 
+def _random_contract(spark, sf_dir):
+    """Statistical contract for the nondeterministic stdlib UDFs
+    (sml/stdlib.py RandomBool/RandomInt — the reference excludes them
+    from exact parity too): over the events table, RandomBool(0.3)'s hit
+    rate must sit within 5 percentage points of 0.3 (>=3 sigma margin at
+    sf0.001's 1k rows), RandomInt(5, 9) must stay inside [5, 9] and hit
+    every value in the range. The oracle asserts the contract booleans
+    plus the row count, which IS deterministic."""
+    from osprey_spark.sml import RulesetCompiler
+
+    df = _events(spark, sf_dir)
+    sml = {
+        "main.sml": """
+B = RandomBool(percentage_chance=0.3)
+N = RandomInt(start=5, end=9)
+"""
+    }
+    plan = RulesetCompiler(
+        sml, input_schema=df.schema, action_name_col="event_type", timestamp_col="ts"
+    ).compile()
+    out = plan.apply(df, passthrough=["event_id"])
+    agg = out.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("B").cast("int")).alias("_rate"),
+        F.sum(((F.col("N") >= 5) & (F.col("N") <= 9)).cast("long")).alias("_in"),
+        F.count_distinct("N").alias("_nd"),
+    )
+    return agg.select(
+        F.col("_n").alias("n_rows"),
+        (F.abs(F.col("_rate") - 0.3) < 0.05).alias("bool_rate_ok"),
+        (F.col("_in") == F.col("_n")).alias("range_ok"),
+        (F.col("_nd") == 5).alias("spread_ok"),
+    )
+
+
+_RANDOM_CONTRACT_ORACLE = """
+SELECT (SELECT count(*) FROM events) AS n_rows,
+       true AS bool_rate_ok, true AS range_ok, true AS spread_ok
+"""
+
+
 def _text_quality(spark, sf_dir):
     """Heuristic document quality score (operators/textstats.quality_score):
     length band + alpha ratio + punctuation ratio + stopword presence +
@@ -1210,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _simhash_check,
         "text_token_counts": _token_counts,
         "text_quality": _text_quality,
+        "random_contract": _random_contract,
         "text_lang_id": _lang_id,
         "sim_cosine_topk": _cosine_topk,
         "sim_knn_join": _knn,
@@ -1250,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_CHECK_ORACLE,
         "text_token_counts": _TOKEN_COUNTS_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
+        "random_contract": _RANDOM_CONTRACT_ORACLE,
         "text_lang_id": _make_lang_oracle(),
         "sim_cosine_topk": _COSINE_TOPK_ORACLE,
         "sim_knn_join": _KNN_ORACLE,
