@@ -139,6 +139,16 @@ class LabelLookup:
     error_on_empty: bool = False
 
 
+def _column_key(col: Column) -> str:
+    """Stable string identity of a Column expression — used to group
+    HasLabel sites that join on the same entity-id expression so they
+    share one join."""
+    try:
+        return col._jc.toString()
+    except Exception:  # noqa: BLE001 — connect-mode columns have no _jc
+        return str(col)
+
+
 @dataclass
 class Feature:
     name: str
@@ -288,136 +298,251 @@ class CompiledRuleset:
         ``created_at`` row per key (deterministic struct-max — one extra
         dim-side shuffle). The streaming pipeline's own store guarantees
         one row per key, so it passes ``unique_label_state=True`` to skip
-        the collapse; pass it only when your table holds that contract."""
+        the collapse; pass it only when your table holds that contract.
+
+        CONSOLIDATION: sites sharing one entity-id expression resolve
+        through ONE left join — the per-site (entity_type, label_name)
+        filters union into a single scan and a per-entity conditional
+        aggregation (pivot) produces every site's columns at once. A
+        ruleset with K HasLabel sites on the same entity costs one
+        probe-side join, not K (each join re-shuffles or re-broadcasts
+        the event stream — at 10^12 turns the probe side dominates)."""
         maybe_bcast = F.broadcast if force_broadcast else (lambda x: x)
-        for lk in self.label_lookups or []:
-            if lk.col_name in df.columns:
-                continue  # already resolved upstream
-            err_col = f"{lk.col_name}__err"
-            if label_state is None:
+        pending = [
+            lk for lk in self.label_lookups or [] if lk.col_name not in df.columns
+        ]  # already-resolved columns pass through untouched
+        if not pending:
+            return df
+        multi_reason = not unique_label_state
+
+        if label_state is None:
+            for lk in pending:
                 absent = lk.status == "removed" and lk.manual is not True
                 df = df.withColumn(lk.col_name, F.lit(absent))
                 if lk.error_on_empty:
                     # fail-closed: no labels service data at all
-                    df = df.withColumn(err_col, F.lit(True)).withColumn(
+                    df = df.withColumn(f"{lk.col_name}__err", F.lit(True)).withColumn(
                         lk.col_name, F.lit(None).cast("boolean")
                     )
-                continue
+            return df
 
-            sfx = lk.col_name
-            rows = label_state.filter(
-                (F.col("entity_type") == lk.entity_type)
-                & (F.col("label_name") == lk.label)
-            ).select(
-                F.col("entity_id").alias(f"{sfx}_eid"),
-                F.col("status").alias(f"{sfx}_st"),
-                F.col("created_at").alias(f"{sfx}_cr"),
-                F.col("expires_ts").alias(f"{sfx}_exp"),
-            )
-            multi_reason = not unique_label_state
-            if multi_reason:
-                # multi-reason collapse with reference semantics
-                # (stdlib/udfs/labels.py:215-252): status from the latest
-                # created_at row (lexicographic struct max → deterministic
-                # on ties); expiry NULL if ANY reason never expires, else
-                # max(expires_ts) — "expired" then means ALL reasons
-                # expired; the (cr, exp) reasons array is kept only when a
-                # site needs min_label_age's oldest-live-reason rule
-                aggs = [
-                    F.max(
-                        F.struct(
-                            F.col(f"{sfx}_cr").alias("cr"),
-                            F.col(f"{sfx}_st").alias("st"),
-                        )
-                    ).alias("_w"),
-                    F.max(F.col(f"{sfx}_exp").isNull().cast("int")).alias("_never"),
-                    F.max(F.col(f"{sfx}_exp")).alias("_expmax"),
-                ]
-                if lk.min_label_age is not None:
-                    aggs.append(
-                        F.collect_list(
-                            F.struct(
-                                F.col(f"{sfx}_cr").alias("cr"),
-                                F.col(f"{sfx}_exp").alias("exp"),
-                            )
-                        ).alias("_rsn")
+        groups: dict[str, list[LabelLookup]] = {}
+        for lk in pending:
+            groups.setdefault(_column_key(lk.entity_id_col), []).append(lk)
+
+        for sites in groups.values():
+            if len(sites) == 1 and not sites[0].error_on_empty:
+                rows = self._single_site_rows(label_state, sites[0], multi_reason)
+            else:
+                rows = self._grouped_site_rows(label_state, sites, multi_reason)
+            eid = f"{sites[0].col_name}_eid"
+            cond = sites[0].entity_id_col.cast("string") == F.col(eid)
+            df = df.join(maybe_bcast(rows), on=cond, how="left").drop(eid)
+            for lk in sites:
+                df = self._finish_site(df, lk, multi_reason)
+        return df
+
+    def _single_site_rows(
+        self, label_state: DataFrame, lk: "LabelLookup", multi_reason: bool
+    ) -> DataFrame:
+        """Join side for a lone HasLabel site: the (entity_type, label)
+        slice of state; with ``unique_label_state`` no aggregation at all
+        (the store guarantees one row per key)."""
+        sfx = lk.col_name
+        rows = label_state.filter(
+            (F.col("entity_type") == lk.entity_type)
+            & (F.col("label_name") == lk.label)
+        ).select(
+            F.col("entity_id").alias(f"{sfx}_eid"),
+            F.col("status").alias(f"{sfx}_st"),
+            F.col("created_at").alias(f"{sfx}_cr"),
+            F.col("expires_ts").alias(f"{sfx}_exp"),
+        )
+        if not multi_reason:
+            return rows
+        # multi-reason collapse with reference semantics
+        # (stdlib/udfs/labels.py:215-252): status from the latest
+        # created_at row (lexicographic struct max → deterministic
+        # on ties); expiry NULL if ANY reason never expires, else
+        # max(expires_ts) — "expired" then means ALL reasons
+        # expired; the (cr, exp) reasons array is kept only when a
+        # site needs min_label_age's oldest-live-reason rule
+        aggs = [
+            F.max(
+                F.struct(
+                    F.col(f"{sfx}_cr").alias("cr"),
+                    F.col(f"{sfx}_st").alias("st"),
+                )
+            ).alias("_w"),
+            F.max(F.col(f"{sfx}_exp").isNull().cast("int")).alias("_never"),
+            F.max(F.col(f"{sfx}_exp")).alias("_expmax"),
+        ]
+        if lk.min_label_age is not None:
+            aggs.append(
+                F.collect_list(
+                    F.struct(
+                        F.col(f"{sfx}_cr").alias("cr"),
+                        F.col(f"{sfx}_exp").alias("exp"),
                     )
-                rows = rows.groupBy(f"{sfx}_eid").agg(*aggs)
-                sel = [
-                    F.col(f"{sfx}_eid"),
-                    F.col("_w.st").alias(f"{sfx}_st"),
-                    F.col("_w.cr").alias(f"{sfx}_cr"),
-                    F.when(F.col("_never") == 1, F.lit(None).cast("timestamp"))
-                    .otherwise(F.col("_expmax"))
+                ).alias("_rsn")
+            )
+        rows = rows.groupBy(f"{sfx}_eid").agg(*aggs)
+        sel = [
+            F.col(f"{sfx}_eid"),
+            F.col("_w.st").alias(f"{sfx}_st"),
+            F.col("_w.cr").alias(f"{sfx}_cr"),
+            F.when(F.col("_never") == 1, F.lit(None).cast("timestamp"))
+            .otherwise(F.col("_expmax"))
+            .alias(f"{sfx}_exp"),
+        ]
+        if lk.min_label_age is not None:
+            sel.append(F.col("_rsn").alias(f"{sfx}_rsn"))
+        return rows.select(*sel)
+
+    def _grouped_site_rows(
+        self, label_state: DataFrame, sites: list["LabelLookup"], multi_reason: bool
+    ) -> DataFrame:
+        """Join side for ≥1 HasLabel sites sharing one entity-id
+        expression: ONE scan filtered to the union of the sites'
+        (entity_type, label_name) pairs, ONE per-entity aggregation with
+        conditional (when-gated) aggregates producing every site's
+        columns — the pivot that turns K probe-side joins into one. Sites
+        with ``error_on_empty`` widen the filter to their whole
+        entity_type and get an ``{sfx}_any`` flag from the same pass (the
+        former separate distinct+join)."""
+        pred = None
+        for lk in sites:
+            p = (F.col("entity_type") == lk.entity_type) & (
+                F.col("label_name") == lk.label
+            )
+            pred = p if pred is None else (pred | p)
+        for et in {lk.entity_type for lk in sites if lk.error_on_empty}:
+            pred = pred | (F.col("entity_type") == et)
+
+        aggs: list[Column] = []
+        finals: list[Column] = []
+        eid = f"{sites[0].col_name}_eid"
+        for lk in sites:
+            sfx = lk.col_name
+            m = (F.col("entity_type") == lk.entity_type) & (
+                F.col("label_name") == lk.label
+            )
+            if multi_reason:
+                aggs += [
+                    F.max(
+                        F.when(
+                            m,
+                            F.struct(
+                                F.col("created_at").alias("cr"),
+                                F.col("status").alias("st"),
+                            ),
+                        )
+                    ).alias(f"{sfx}__w"),
+                    F.max(
+                        F.when(m, F.col("expires_ts").isNull().cast("int"))
+                    ).alias(f"{sfx}__never"),
+                    F.max(F.when(m, F.col("expires_ts"))).alias(f"{sfx}__expmax"),
+                ]
+                finals += [
+                    F.col(f"{sfx}__w.st").alias(f"{sfx}_st"),
+                    F.col(f"{sfx}__w.cr").alias(f"{sfx}_cr"),
+                    F.when(F.col(f"{sfx}__never") == 1, F.lit(None).cast("timestamp"))
+                    .otherwise(F.col(f"{sfx}__expmax"))
                     .alias(f"{sfx}_exp"),
                 ]
                 if lk.min_label_age is not None:
-                    sel.append(F.col("_rsn").alias(f"{sfx}_rsn"))
-                rows = rows.select(*sel)
-            cond = lk.entity_id_col.cast("string") == F.col(f"{sfx}_eid")
-            df = df.join(maybe_bcast(rows), on=cond, how="left")
-
-            ts = F.col(self.timestamp_col)
-            expired = F.col(f"{sfx}_exp").isNotNull() & (F.col(f"{sfx}_exp") <= ts)
-            present = F.col(f"{sfx}_st").isNotNull() & ~expired
-            st_col = F.col(f"{sfx}_st")
-            actual_added = st_col.isin(1, 3)
-            actual_manual = st_col.isin(2, 3)
-            match = actual_added if lk.status == "added" else ~actual_added
-            if lk.manual is True:
-                match = match & actual_manual
-            elif lk.manual is False:
-                match = match & ~actual_manual
-            if lk.min_label_age is not None:
-                if multi_reason:
-                    # oldest NON-EXPIRED reason's created_at, judged
-                    # against this event's timestamp (labels.py:246-252).
-                    # Reasons arrays are tiny (per-label mutation count),
-                    # so the interpreted array lambda is negligible next
-                    # to the join; when the label is fully expired the
-                    # filter is empty → NULL → `present` is already False
-                    live = F.filter(
-                        F.col(f"{sfx}_rsn"),
-                        lambda r: r["exp"].isNull() | (r["exp"] > ts),
+                    # collect_list skips the NULLs the when() leaves on
+                    # other sites' rows → exactly this site's reasons
+                    aggs.append(
+                        F.collect_list(
+                            F.when(
+                                m,
+                                F.struct(
+                                    F.col("created_at").alias("cr"),
+                                    F.col("expires_ts").alias("exp"),
+                                ),
+                            )
+                        ).alias(f"{sfx}_rsn")
                     )
-                    cr_basis = F.array_min(F.transform(live, lambda r: r["cr"]))
-                else:
-                    cr_basis = F.col(f"{sfx}_cr")
-                # cast to timestamp first: TIMESTAMP_NTZ → double directly
-                # is rejected by Spark 4's type checker
-                age = ts.cast("timestamp").cast("double") - cr_basis.cast(
-                    "timestamp"
-                ).cast("double")
-                match = match & (age > F.lit(float(lk.min_label_age)))
-            absent_value = F.lit(lk.status == "removed" and lk.manual is not True)
-            result = F.when(present, match).otherwise(absent_value)
-
-            if lk.error_on_empty:
-                # does the entity hold ANY label of this entity_type?
-                any_rows = (
-                    label_state.filter(F.col("entity_type") == lk.entity_type)
-                    .select(F.col("entity_id").alias(f"{sfx}_any_eid"))
-                    .distinct()
-                    .withColumn(f"{sfx}_any", F.lit(True))
-                )
-                df = df.join(
-                    maybe_bcast(any_rows),
-                    on=[lk.entity_id_col.cast("string") == F.col(f"{sfx}_any_eid")],
-                    how="left",
-                )
-                empty = F.col(f"{sfx}_any").isNull()
-                df = (
-                    df.withColumn(err_col, empty)
-                    .withColumn(
-                        lk.col_name,
-                        F.when(empty, F.lit(None).cast("boolean")).otherwise(result),
-                    )
-                    .drop(f"{sfx}_any_eid", f"{sfx}_any")
-                )
+                    finals.append(F.col(f"{sfx}_rsn"))
             else:
-                df = df.withColumn(lk.col_name, result)
-            df = df.drop(f"{sfx}_eid", f"{sfx}_st", f"{sfx}_cr", f"{sfx}_exp", f"{sfx}_rsn")
-        return df
+                # unique state: ≤1 row per (entity_type, entity_id, label)
+                # → the conditional max IS that row's value
+                aggs += [
+                    F.max(F.when(m, F.col("status"))).alias(f"{sfx}_st"),
+                    F.max(F.when(m, F.col("created_at"))).alias(f"{sfx}_cr"),
+                    F.max(F.when(m, F.col("expires_ts"))).alias(f"{sfx}_exp"),
+                ]
+                finals += [F.col(f"{sfx}_st"), F.col(f"{sfx}_cr"), F.col(f"{sfx}_exp")]
+            if lk.error_on_empty:
+                aggs.append(
+                    F.max(
+                        F.when(F.col("entity_type") == lk.entity_type, F.lit(True))
+                    ).alias(f"{sfx}_any")
+                )
+                finals.append(F.col(f"{sfx}_any"))
+        return (
+            label_state.filter(pred)
+            .groupBy(F.col("entity_id").alias(eid))
+            .agg(*aggs)
+            .select(F.col(eid), *finals)
+        )
+
+    def _finish_site(
+        self, df: DataFrame, lk: "LabelLookup", multi_reason: bool
+    ) -> DataFrame:
+        """Post-join evaluation of one HasLabel site from its joined
+        ``{sfx}_st/_cr/_exp(/_rsn/_any)`` columns (shared by the single-
+        site and consolidated join paths)."""
+        sfx = lk.col_name
+        ts = F.col(self.timestamp_col)
+        expired = F.col(f"{sfx}_exp").isNotNull() & (F.col(f"{sfx}_exp") <= ts)
+        present = F.col(f"{sfx}_st").isNotNull() & ~expired
+        st_col = F.col(f"{sfx}_st")
+        actual_added = st_col.isin(1, 3)
+        actual_manual = st_col.isin(2, 3)
+        match = actual_added if lk.status == "added" else ~actual_added
+        if lk.manual is True:
+            match = match & actual_manual
+        elif lk.manual is False:
+            match = match & ~actual_manual
+        if lk.min_label_age is not None:
+            if multi_reason:
+                # oldest NON-EXPIRED reason's created_at, judged
+                # against this event's timestamp (labels.py:246-252).
+                # Reasons arrays are tiny (per-label mutation count),
+                # so the interpreted array lambda is negligible next
+                # to the join; when the label is fully expired the
+                # filter is empty → NULL → `present` is already False
+                live = F.filter(
+                    F.col(f"{sfx}_rsn"),
+                    lambda r: r["exp"].isNull() | (r["exp"] > ts),
+                )
+                cr_basis = F.array_min(F.transform(live, lambda r: r["cr"]))
+            else:
+                cr_basis = F.col(f"{sfx}_cr")
+            # cast to timestamp first: TIMESTAMP_NTZ → double directly
+            # is rejected by Spark 4's type checker
+            age = ts.cast("timestamp").cast("double") - cr_basis.cast(
+                "timestamp"
+            ).cast("double")
+            match = match & (age > F.lit(float(lk.min_label_age)))
+        absent_value = F.lit(lk.status == "removed" and lk.manual is not True)
+        result = F.when(present, match).otherwise(absent_value)
+
+        if lk.error_on_empty:
+            # {sfx}_any: does the entity hold ANY label of this
+            # entity_type? (fail-closed labels-service-integrity guard)
+            empty = F.col(f"{sfx}_any").isNull()
+            df = df.withColumn(f"{sfx}__err", empty).withColumn(
+                lk.col_name,
+                F.when(empty, F.lit(None).cast("boolean")).otherwise(result),
+            )
+        else:
+            df = df.withColumn(lk.col_name, result)
+        return df.drop(
+            f"{sfx}_st", f"{sfx}_cr", f"{sfx}_exp", f"{sfx}_rsn", f"{sfx}_any"
+        )
 
     def output_columns(self, include_internal: bool = True) -> list[Column]:
         cols: list[Column] = []

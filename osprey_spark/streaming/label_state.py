@@ -89,7 +89,13 @@ def label_resolver(df: DataFrame) -> DataFrame:
 
 
 class LabelStateStore:
-    def __init__(self, path: str, num_partitions: int = 64, max_delta_files: int = 8):
+    def __init__(
+        self,
+        path: str,
+        num_partitions: int = 64,
+        max_delta_files: int = 8,
+        snapshot_cache: bool = False,
+    ):
         self.store = HashPartitionedStateStore(
             path,
             key_cols=KEY,
@@ -97,6 +103,7 @@ class LabelStateStore:
             num_partitions=num_partitions,
             max_delta_files=max_delta_files,
             resolve_fn=label_resolver,
+            snapshot_cache=snapshot_cache,
         )
         self.path = path
 

@@ -82,6 +82,7 @@ class RuleStreamPipeline:
         maintenance_every: int = 16,
         keep_versions: int = 8,
         label_max_delta_files: int = 8,
+        snapshot_cache: bool = True,
     ):
         """``maintenance_every``: every N committed batches, expire state
         snapshots unreachable from the newest ``keep_versions`` manifests
@@ -117,8 +118,15 @@ class RuleStreamPipeline:
         # (lazy compaction past it); together with snapshot expiry it also
         # bounds DISK: delta generations stay live until compaction folds
         # them, after which expiry reclaims the superseded files
+        # snapshot_cache: per-batch HasLabel/verdict reads come from an
+        # incrementally-maintained RESOLVED snapshot in executor storage
+        # instead of re-running the MOR resolution aggregate over
+        # base+deltas every batch (the round-4 full-stack tax); replay
+        # reads still pin the pre-batch version via the MOR scan
         self.labels = LabelStateStore(
-            os.path.join(workdir, "labels"), max_delta_files=label_max_delta_files
+            os.path.join(workdir, "labels"),
+            max_delta_files=label_max_delta_files,
+            snapshot_cache=snapshot_cache,
         )
         self.checkpoint = os.path.join(workdir, "checkpoint")
         # verdict counts are additive, so merge-on-read resolution is a
@@ -132,6 +140,7 @@ class RuleStreamPipeline:
             resolve_fn=lambda df: df.groupBy(key_col).agg(
                 F.sum("prior_verdict_count").alias("prior_verdict_count")
             ),
+            snapshot_cache=snapshot_cache,
         )
         schema_str = input_schema or TRANSCRIPT_SCHEMA
         from pyspark.sql.types import _parse_datatype_string

@@ -93,13 +93,23 @@ class HashPartitionedStateStore:
         max_generations: int = 16,
         max_delta_files: int = 8,
         resolve_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
+        snapshot_cache: bool = False,
     ):
         """``resolve_fn(df) -> df`` collapses rows to one per key. It
         receives the raw base+delta rows with an extra ``__state_gen``
         long column (monotone write order) and must be ASSOCIATIVE and
         insensitive to physical row order — compaction applies it to any
         prefix of a bucket's files and the result must resolve identically
-        against later deltas. Default: :func:`latest_wins`."""
+        against later deltas. Default: :func:`latest_wins`.
+
+        ``snapshot_cache=True`` keeps an incrementally-maintained RESOLVED
+        snapshot in executor storage (see :meth:`_cached_snapshot`): each
+        ``read()`` of the current version returns one-row-per-key data with
+        NO resolution aggregate in the read plan, and a version bump folds
+        only the new delta files onto the cached snapshot (associativity
+        of ``resolve_fn`` makes the fold exact). Purely a performance
+        layer — replay reads (``before_batch``) of older versions fall
+        back to the merge-on-read scan."""
         self.path = path
         self.key_cols = key_cols
         self.schema = schema  # DDL string of the full state row
@@ -107,6 +117,8 @@ class HashPartitionedStateStore:
         self.max_generations = max_generations
         self.max_delta_files = max_delta_files
         self.resolve_fn = resolve_fn
+        self.snapshot_cache = snapshot_cache
+        self._cache: Optional[dict] = None
         self.last_merge_stats: dict = {}
         os.makedirs(path, exist_ok=True)
 
@@ -131,18 +143,42 @@ class HashPartitionedStateStore:
     def last_batch_id(self) -> Optional[int]:
         return self.pointer()["batch_id"]
 
-    def _manifest(self, version: int) -> dict[str, list[str]]:
-        """bucket id → ordered (oldest→newest) list of live data dirs."""
+    def _load_manifest(self, version: int) -> dict:
+        """Raw manifest document. Current format:
+        ``{"buckets": {bucket → [rel dirs]}, "stats": {rel → [rows, bytes]}}``;
+        pre-round-5 manifests were the bare ``buckets`` mapping (no stats)
+        and are read compatibly."""
         if version < 0:
-            return {}
+            return {"buckets": {}, "stats": {}}
         with open(self._manifest_file(version)) as f:
             raw = json.load(f)
-        return {b: [rels] if isinstance(rels, str) else rels for b, rels in raw.items()}
+        if "buckets" not in raw:
+            raw = {"buckets": raw, "stats": {}}
+        raw["buckets"] = {
+            b: [rels] if isinstance(rels, str) else rels
+            for b, rels in raw["buckets"].items()
+        }
+        raw.setdefault("stats", {})
+        return raw
 
-    def _publish(self, manifest: dict[str, list[str]], batch_id: Optional[int]) -> int:
+    def _manifest(self, version: int) -> dict[str, list[str]]:
+        """bucket id → ordered (oldest→newest) list of live data dirs."""
+        return self._load_manifest(version)["buckets"]
+
+    def _publish(
+        self,
+        manifest: dict[str, list[str]],
+        batch_id: Optional[int],
+        stats: Optional[dict[str, list[int]]] = None,
+    ) -> int:
+        # keep stats only for rels still referenced (manifest-carried file
+        # statistics, the Iceberg manifest-metrics analog: size queries
+        # never re-stat the data tree)
+        live = {rel for rels in manifest.values() for rel in rels}
+        stats = {rel: s for rel, s in (stats or {}).items() if rel in live}
         v = self.current_version() + 1
         with open(self._manifest_file(v), "w") as f:
-            json.dump(manifest, f)
+            json.dump({"buckets": manifest, "stats": stats}, f)
         tmp = self._pointer_file() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": v, "batch_id": batch_id}, f)
@@ -182,25 +218,145 @@ class HashPartitionedStateStore:
         ``before_batch=b``, the snapshot as of before batch ``b`` was
         applied (replay-consistent reads). Filters on the key columns
         push below the MOR resolution (they are grouping columns), so a
-        per-label HasLabel read still prunes at the scan."""
+        per-label HasLabel read still prunes at the scan.
+
+        With ``snapshot_cache`` on, the current version is served from the
+        incrementally-maintained resolved snapshot — no resolution
+        aggregate in the read plan at all. Replay reads of an OLDER
+        version bypass the cache (correctness first: the scan path is
+        always available)."""
         ptr = self.pointer()
         v = int(ptr["version"])
         if before_batch is not None and ptr["batch_id"] == before_batch:
             v -= 1  # this batch already applied (crash between state and sink)
         if v < 0:
             return self._empty(spark)
+        if self.snapshot_cache:
+            c = self._cache
+            if c is not None and c["session"] is spark and c["version"] == v:
+                return c["df"].drop(_PART)
+            if v == self.current_version():
+                return self._cached_snapshot(spark, v)
         return self._scan(spark, self._manifest(v))
 
+    # -- incrementally-maintained resolved snapshot ---------------------------
+
+    def _cached_snapshot(self, spark: SparkSession, v: int) -> DataFrame:
+        """Build (or incrementally advance) the materialized resolved
+        snapshot for version ``v`` and return it.
+
+        The scale problem this solves (round-4 full-stack bench): every
+        HasLabel site's per-batch read re-ran the MOR resolution aggregate
+        over base+deltas — a parquet decode + shuffle per site per batch,
+        ~2.4× total-throughput tax vs the stateless pipeline. Instead the
+        store keeps the RESOLVED one-row-per-key snapshot in executor
+        storage (``localCheckpoint``: materialized, lineage truncated so
+        the plan does not grow across batches) and advances it per
+        version bump with an incremental fold:
+
+        - a bucket whose manifest file-list is UNCHANGED passes its cached
+          rows through untouched — no re-aggregation;
+        - a bucket whose list GREW (delta appends) folds cached rows +
+          ONLY the new files through ``resolve_fn`` — exact because the
+          resolver is associative and cached rows are stamped with a
+          generation older than any new file's;
+        - a bucket whose list was REPLACED (compaction) or is NEW is
+          re-read from its (just-compacted, single) file — cached rows
+          are discarded for it, so non-idempotent resolvers (e.g. SUM)
+          never double-count.
+
+        Cost per batch: one fold over the dirty buckets' rows + an
+        O(|state|) materialization with NO shuffle for clean buckets —
+        replacing per-site scan+aggregate+shuffle. On a real cluster the
+        checkpoint blocks live on executors (MEMORY_AND_DISK), the same
+        placement an Iceberg materialized view or Delta OPTIMIZE'd
+        snapshot table would give."""
+        buckets = self._manifest(v)
+        c = self._cache
+        if c is not None and (c["session"] is not spark):
+            c = None  # cache belongs to another session — rebuild
+        out_cols = self._empty(spark).columns
+
+        if c is None:
+            snap = self._scan(spark, buckets)
+        else:
+            untouched, grown_cached, inc_paths = [], [], []
+            for b, rels in buckets.items():
+                old = c["buckets"].get(b)
+                if old is not None and rels[: len(old)] == old:
+                    if len(rels) == len(old):
+                        untouched.append(int(b))
+                    else:
+                        grown_cached.append(int(b))
+                        inc_paths += rels[len(old):]
+                else:
+                    # new bucket, or compaction rebased its file list:
+                    # read fully, drop cached rows (SUM-safe)
+                    inc_paths += rels
+            cached = c["df"]  # carries _PART
+            parts = []
+            if untouched:
+                parts.append(cached.filter(F.col(_PART).isin(untouched)).drop(_PART))
+            fold_inputs = []
+            if grown_cached:
+                # stamp with the cache's version: every appended file's
+                # generation is a later publish version, so latest-wins
+                # resolvers order correctly; SUM-like resolvers ignore it
+                fold_inputs.append(
+                    cached.filter(F.col(_PART).isin(grown_cached))
+                    .drop(_PART)
+                    .withColumn(GEN_COL, F.lit(c["version"]))
+                )
+            if inc_paths:
+                fold_inputs.append(
+                    spark.read.schema(self._data_schema()).parquet(
+                        *[os.path.join(self.path, rel) for rel in inc_paths]
+                    )
+                )
+            if fold_inputs:
+                fold = fold_inputs[0]
+                for extra in fold_inputs[1:]:
+                    fold = fold.unionByName(extra)
+                parts.append(self._resolve(fold))
+            if not parts:
+                snap = self._empty(spark)
+            else:
+                snap = parts[0].select(*out_cols)
+                for extra in parts[1:]:
+                    snap = snap.unionByName(extra.select(*out_cols))
+
+        materialized = (
+            snap.select(*out_cols)
+            .withColumn(_PART, self._part_of())
+            .localCheckpoint(eager=True)
+        )
+        self._cache = {
+            "version": v,
+            "df": materialized,
+            "buckets": buckets,
+            "session": spark,
+        }
+        return materialized.drop(_PART)
+
     def approx_size_bytes(self) -> int:
-        """Total bytes of the current snapshot's live data files (manifest
-        walk — no Spark job). Used for broadcast-vs-shuffle decisions;
-        with pending deltas this over-counts the resolved size, which is
-        the safe direction for a broadcast guard."""
+        """Total bytes of the current snapshot's live data files, from the
+        MANIFEST-CARRIED stats recorded at publish time — a dict sum, no
+        filesystem walk (this runs in the per-batch path via the broadcast
+        guard; a glob-stat of every live file degrades linearly with
+        bucket × delta count). Rels from pre-stats manifests fall back to
+        a one-off stat walk. With pending deltas this over-counts the
+        resolved size, which is the safe direction for a broadcast
+        guard."""
+        doc = self._load_manifest(self.current_version())
         total = 0
-        for rels in self._manifest(self.current_version()).values():
+        for rels in doc["buckets"].values():
             for rel in rels:
-                for fp in glob.glob(os.path.join(self.path, rel, "*.parquet")):
-                    total += os.path.getsize(fp)
+                s = doc["stats"].get(rel)
+                if s is not None:
+                    total += int(s[1])
+                else:  # legacy manifest without stats
+                    for fp in glob.glob(os.path.join(self.path, rel, "*.parquet")):
+                        total += os.path.getsize(fp)
         return total
 
     # -- merge-on-read write path ---------------------------------------------
@@ -226,14 +382,18 @@ class HashPartitionedStateStore:
             .parquet(os.path.join(self.path, gen_dir))
         )
 
-        manifest = {b: list(rels) for b, rels in self._manifest(v - 1).items()}
+        doc = self._load_manifest(v - 1)
+        manifest = {b: list(rels) for b, rels in doc["buckets"].items()}
+        stats = dict(doc["stats"])
         rows_appended = 0
         touched = []
         for d in glob.glob(os.path.join(self.path, gen_dir, f"{_PART}=*")):
             b = d.rsplit("=", 1)[1]
             touched.append(int(b))
-            manifest.setdefault(b, []).append(f"{gen_dir}/{_PART}={b}")
-            rows_appended += _parquet_rows(d)
+            rel = f"{gen_dir}/{_PART}={b}"
+            manifest.setdefault(b, []).append(rel)
+            stats[rel] = _dir_stats(d)
+            rows_appended += stats[rel][0]
         if not touched:
             # empty delta: no state change → nothing to version (replaying
             # an empty merge is naturally idempotent)
@@ -268,8 +428,10 @@ class HashPartitionedStateStore:
             for d in glob.glob(os.path.join(self.path, cdir, f"{_PART}=*")):
                 b = d.rsplit("=", 1)[1]
                 compacted_buckets.add(b)
-                manifest[b] = [f"{cdir}/{_PART}={b}"]
-                rows_compacted += _parquet_rows(d)
+                rel = f"{cdir}/{_PART}={b}"
+                manifest[b] = [rel]
+                stats[rel] = _dir_stats(d)
+                rows_compacted += stats[rel][0]
             for b in over:
                 if b not in compacted_buckets:  # bucket resolved to empty
                     manifest.pop(b, None)
@@ -283,7 +445,7 @@ class HashPartitionedStateStore:
             # amortized compaction — O(|delta|) steady-state, NOT O(|state|)
             "rows_rewritten": rows_appended + rows_compacted,
         }
-        self._publish(manifest, batch_id)
+        self._publish(manifest, batch_id, stats=stats)
         return v
 
     # -- copy-on-write write path ----------------------------------------------
@@ -310,7 +472,8 @@ class HashPartitionedStateStore:
         dirty_rows = (
             delta.select(self._part_of().alias(_PART)).distinct().collect()
         )
-        old_manifest = self._manifest(self.current_version())
+        old_doc = self._load_manifest(self.current_version())
+        old_manifest = old_doc["buckets"]
         if not dirty_rows:
             self.last_merge_stats = {"partitions_rewritten": 0, "rows_rewritten": 0}
             return self.current_version()
@@ -337,13 +500,16 @@ class HashPartitionedStateStore:
         )
 
         manifest = {b: list(rels) for b, rels in old_manifest.items()}
+        stats = dict(old_doc["stats"])
         rows_rewritten = 0
         written = set()
         for d in glob.glob(os.path.join(self.path, gen_dir, f"{_PART}=*")):
             b = int(d.rsplit("=", 1)[1])
             written.add(b)
-            manifest[str(b)] = [f"{gen_dir}/{_PART}={b}"]
-            rows_rewritten += _parquet_rows(d)
+            rel = f"{gen_dir}/{_PART}={b}"
+            manifest[str(b)] = [rel]
+            stats[rel] = _dir_stats(d)
+            rows_rewritten += stats[rel][0]
         for b in dirty:
             if b not in written:  # bucket emptied by the merge
                 manifest.pop(str(b), None)
@@ -351,7 +517,7 @@ class HashPartitionedStateStore:
             "partitions_rewritten": len(dirty),
             "rows_rewritten": rows_rewritten,
         }
-        self._publish(manifest, batch_id)
+        self._publish(manifest, batch_id, stats=stats)
         return v
 
     def _part_of(self):
@@ -404,12 +570,16 @@ class HashPartitionedStateStore:
         return removed
 
 
-def _parquet_rows(directory: str) -> int:
-    """Row count from parquet footers — driver-side metadata read, no job
-    (the Iceberg-manifest-statistics analog)."""
+def _dir_stats(directory: str) -> list[int]:
+    """``[rows, bytes]`` from parquet footers + file sizes — a one-time
+    driver-side metadata read at PUBLISH, recorded into the manifest so
+    later size queries (``approx_size_bytes``, the broadcast guard) are
+    dict lookups, never filesystem walks (the Iceberg manifest-statistics
+    analog)."""
     import pyarrow.parquet as pq
 
-    total = 0
+    rows = size = 0
     for fp in glob.glob(os.path.join(directory, "*.parquet")):
-        total += pq.ParquetFile(fp).metadata.num_rows
-    return total
+        rows += pq.ParquetFile(fp).metadata.num_rows
+        size += os.path.getsize(fp)
+    return [rows, size]

@@ -106,6 +106,18 @@ def test_no_interpreted_hofs_in_dedup_plans(spark):
         assert "ArrowEvalPython" in plan  # the vectorized path is present
 
 
+def test_multi_site_haslabel_plans_one_join(spark):
+    """Round-5 consolidation: a ruleset with K HasLabel sites on the SAME
+    entity resolves through ONE left join (union-filtered scan + per-site
+    conditional aggregation), not K probe-side joins — each extra join
+    re-broadcasts or re-shuffles the event stream. haslabel_multi_reason
+    has 3 sites on entity U; its optimized plan must hold exactly one
+    join."""
+    df = entry_mod.queries()["haslabel_multi_reason"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Join ") == 1, logical
+
+
 def test_mor_read_pushes_key_filters_below_resolution(spark, tmp_path):
     """Merge-on-read reads resolve base+deltas with a groupBy on the key
     columns; a per-label HasLabel read filters on (entity_type,

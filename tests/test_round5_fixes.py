@@ -1,0 +1,142 @@
+"""Round-5 hardening: the incrementally-maintained resolved snapshot
+cache (HasLabel reads stop re-running MOR resolution every batch) and
+manifest-carried size statistics (no per-batch filesystem walk)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from osprey_spark.streaming.label_state import LabelStateStore
+from osprey_spark.streaming.state_store import HashPartitionedStateStore
+
+T0 = datetime.datetime(2024, 1, 1)
+MSCHEMA = (
+    "entity_type string, entity_id string, label_name string, "
+    "status int, event_ts timestamp, expires_ts timestamp"
+)
+
+
+def _muts(spark, ids, status=1, label="bad"):
+    return spark.createDataFrame(
+        [("User", f"u{i}", label, status, T0, None) for i in ids], MSCHEMA
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_snapshot_cache_matches_scan_across_merges_and_compaction(spark, tmp_path):
+    """Two handles over the SAME store directory — one serving reads from
+    the incrementally-maintained resolved snapshot, one from the plain
+    MOR scan — must agree after every batch, through delta growth, lazy
+    compaction, and manual-override conflicts."""
+    path = str(tmp_path / "labels")
+    cached = LabelStateStore(path, num_partitions=4, max_delta_files=3, snapshot_cache=True)
+    plain = LabelStateStore(path, num_partitions=4, max_delta_files=3)
+    for b in range(10):
+        # overlapping keys: re-labels u0..u9 every batch (dense per-key
+        # history → resolution matters), plus 10 new keys
+        ids = list(range(10)) + list(range(10 + b * 10, 20 + b * 10))
+        cached.apply_mutations(_muts(spark, ids), batch_id=b)
+        assert _rows(cached.read(spark)) == _rows(plain.read(spark))
+    # a manual REMOVE on u0 must win over later automatic adds — through
+    # the cache's incremental fold, not just a fresh resolution
+    cached.apply_mutations(_muts(spark, [0], status=2), batch_id=10)
+    cached.apply_mutations(_muts(spark, [0], status=1), batch_id=11)
+    got = {r["entity_id"]: r["status"] for r in cached.read(spark).collect()}
+    assert got["u0"] == 2  # CANNOT_OVERRIDE_MANUAL survives the fold
+    assert _rows(cached.read(spark)) == _rows(plain.read(spark))
+    # compaction actually fired during the run (the rebase path was exercised)
+    manifest = cached.store._manifest(cached.current_version())
+    assert any("x" in rels[0].split("/", 1)[0] for rels in manifest.values())
+
+
+def test_snapshot_cache_sum_resolver_survives_compaction(spark, tmp_path):
+    """The rebase path must DISCARD cached rows for compacted buckets —
+    folding a cached sum with a compacted (already-total) file would
+    double-count. Hammer one key so its bucket compacts repeatedly."""
+    store = HashPartitionedStateStore(
+        str(tmp_path / "s"),
+        key_cols=["k"],
+        schema="k string, n long",
+        num_partitions=2,
+        max_delta_files=2,
+        resolve_fn=lambda df: df.groupBy("k").agg(F.sum("n").alias("n")),
+        snapshot_cache=True,
+    )
+    for b in range(12):
+        store.merge_append(
+            spark.createDataFrame([("hot", 1), (f"k{b}", 10)], "k string, n long"),
+            batch_id=b,
+        )
+        got = {r["k"]: r["n"] for r in store.read(spark).collect()}
+        assert got["hot"] == b + 1, f"batch {b}: sum drifted (double-count?)"
+    assert sum(got.values()) == 12 + 12 * 10
+
+
+def test_snapshot_cache_read_has_no_resolution_aggregate(spark, tmp_path):
+    """The point of the cache: a current-version read is served from the
+    materialized resolved snapshot — NO aggregate (and no parquet scan)
+    in the plan — where the MOR scan of the same store must aggregate."""
+    path = str(tmp_path / "labels")
+    cached = LabelStateStore(path, num_partitions=4, snapshot_cache=True)
+    plain = LabelStateStore(path, num_partitions=4)
+    for b in range(3):  # >1 delta file per bucket → MOR read must resolve
+        cached.apply_mutations(_muts(spark, range(20)), batch_id=b)
+    cached_plan = (
+        cached.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    plain_plan = plain.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in cached_plan and "Relation" not in cached_plan
+    assert "Aggregate" in plain_plan
+
+
+def test_snapshot_cache_replay_read_pins_previous_version(spark, tmp_path):
+    """Exactly-once replay: after batch b's state delta landed, a replayed
+    read(before_batch=b) must see the PRE-b snapshot even while the cache
+    holds a version — both when the cache happens to hold that older
+    version (served) and when it does not (MOR-scan fallback)."""
+    path = str(tmp_path / "labels")
+    cached = LabelStateStore(path, num_partitions=4, snapshot_cache=True)
+    plain = LabelStateStore(path, num_partitions=4)
+    cached.apply_mutations(_muts(spark, range(5)), batch_id=0)
+    cached.read(spark)  # cache now holds v(batch 0)
+    cached.apply_mutations(_muts(spark, range(5, 9)), batch_id=1)
+    # cache at old version == replay version → served from cache
+    assert _rows(cached.read(spark, before_batch=1)) == _rows(
+        plain.read(spark, before_batch=1)
+    )
+    assert cached.read(spark, before_batch=1).count() == 5
+    # advance the cache to the new current, then replay again:
+    # version mismatch → scan fallback, same rows
+    assert cached.read(spark).count() == 9
+    assert _rows(cached.read(spark, before_batch=1)) == _rows(
+        plain.read(spark, before_batch=1)
+    )
+
+
+def test_manifest_stats_survive_and_size_query_never_walks(spark, tmp_path):
+    """approx_size_bytes (the per-batch broadcast guard) must be a
+    manifest lookup: stats recorded at publish, carried through
+    compaction, and the query itself touches no filesystem glob."""
+    import os
+    from unittest import mock
+
+    from osprey_spark.streaming import state_store as ss
+
+    store = LabelStateStore(str(tmp_path / "labels"), num_partitions=4, max_delta_files=3)
+    for b in range(8):  # trips compaction (max_delta_files=3)
+        store.apply_mutations(_muts(spark, range(b * 10, b * 10 + 10)), batch_id=b)
+    doc = store.store._load_manifest(store.current_version())
+    live = {rel for rels in doc["buckets"].values() for rel in rels}
+    assert set(doc["stats"]) == live  # every live rel has stats, no dead ones
+    # stats match the actual files on disk
+    for rel, (rows, size) in doc["stats"].items():
+        d = os.path.join(store.path, rel)
+        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+        assert size == sum(os.path.getsize(f) for f in files)
+    expect = sum(s[1] for s in doc["stats"].values())
+    with mock.patch.object(ss.glob, "glob", side_effect=AssertionError("fs walk!")):
+        assert store.approx_size_bytes() == expect
+        assert isinstance(store.broadcastable(), bool)

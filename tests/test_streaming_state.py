@@ -121,14 +121,9 @@ def test_store_compaction_bounds_generations(spark, tmp_path):
         delta = spark.createDataFrame([(f"k{b}", b)], "k string, v long")
         store.merge(delta, merge_fn, batch_id=b)
     assert store.read(spark).count() == 12
-    import json
-
-    with open(store._manifest_file(store.current_version())) as f:
-        manifest = json.load(f)
+    manifest = store._manifest(store.current_version())
     gens = {
-        rel.split("/", 1)[0]
-        for rels in manifest.values()
-        for rel in ([rels] if isinstance(rels, str) else rels)
+        rel.split("/", 1)[0] for rels in manifest.values() for rel in rels
     }
     assert len(gens) <= 4  # compaction folded old generations
 
@@ -616,3 +611,103 @@ def test_tws_cep_matches_apply_in_pandas(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["conv_id"] == "a" and got[0]["matched_at_turn"] == 2
     assert got[0]["matched_at_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 20)
+
+
+def test_tws_crash_between_batches_resumes_exactly_once(spark, tmp_path):
+    """Kill/resume proof for the transformWithStateInPandas twin's
+    RocksDB changelog checkpoint (round-5 item): crash the query between
+    micro-batches, restart from the same checkpoint, and the final output
+    must equal an uninterrupted run — no re-alert for a session that
+    already emitted before the crash, and no lost open session (a
+    conversation mid-way to min_triggers at crash time must still alert
+    with the turn count accumulated BEFORE the crash)."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from osprey_spark.streaming.escalation_tws import streaming_escalation_sessions_tws
+
+    t = T0
+    m = datetime.timedelta(minutes=1)
+    files = [
+        # batch 0: a trigger #1; b plain turn
+        [("a", 0, "user", "x", "error", t), ("b", 0, "user", "x", "", t)],
+        # batch 1: a trigger #2 → ALERT(a); b trigger #1 (open session)
+        [("a", 1, "user", "x", "error", t + m), ("b", 1, "user", "x", "error", t + m)],
+        # -- crash is injected here, between batch 1's commit and batch 2 --
+        # batch 2: a trigger #3 (must NOT re-alert); b trigger #2 → ALERT(b)
+        [("a", 2, "user", "x", "error", t + 2 * m), ("b", 2, "user", "x", "error", t + 2 * m)],
+        # batch 3: plain tails
+        [("a", 3, "user", "x", "", t + 3 * m), ("b", 3, "user", "x", "", t + 3 * m)],
+    ]
+
+    def run(input_dir, ckpt, crash_at=None):
+        for i, rows in enumerate(files):
+            spark.createDataFrame(rows, TSCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(input_dir)
+        captured = []
+        armed = {"crash": crash_at is not None}
+
+        def sink(df, bid):
+            if armed["crash"] and bid == crash_at:
+                armed["crash"] = False
+                raise RuntimeError("injected crash")
+            captured.append((bid, sorted(map(tuple, df.collect()))))
+
+        def start():
+            stream = (
+                spark.readStream.schema(TSCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(input_dir)
+                .withWatermark("ts", "10 minutes")
+            )
+            out = streaming_escalation_sessions_tws(
+                stream, trigger=F.col("tool") == "error", gap_seconds=1800, min_triggers=2
+            )
+            return (
+                out.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        if crash_at is not None:
+            try:
+                start().awaitTermination()
+                raise AssertionError("expected the injected crash to surface")
+            except StreamingQueryException:
+                pass
+        start().awaitTermination()  # (re)start from the same checkpoint
+        return [r for _, rows in captured for r in rows]
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # incremental changelog per commit instead of full RocksDB snapshots —
+    # the configuration a long-lived stream runs with; resume must replay it
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true"
+    )
+    try:
+        crashed = run(str(tmp_path / "in1"), str(tmp_path / "ck1"), crash_at=2)
+        control = run(str(tmp_path / "in2"), str(tmp_path / "ck2"))
+    finally:
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    assert sorted(crashed) == sorted(control)
+    alerts = {r[0]: r for r in crashed}
+    assert len(crashed) == 2 and set(alerts) == {"a", "b"}
+    # a alerted pre-crash and did NOT re-alert on its post-crash trigger
+    assert alerts["a"][2] == t + m and alerts["a"][4] == 2
+    # b's open session (1 trigger, 2 turns pre-crash) survived the restart:
+    # alert fires on its first post-resume trigger with full turn history
+    assert alerts["b"][2] == t + 2 * m
+    assert alerts["b"][3] == 3 and alerts["b"][4] == 2

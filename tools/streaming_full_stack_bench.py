@@ -71,23 +71,43 @@ n = spark.read.parquet({input_dir!r}).count()
 
 import os as _os0
 wd = tempfile.mkdtemp(prefix=f"full_stack_{{cores}}_")
+max_files = _os0.environ.get("FULL_STACK_MAX_FILES", "8")
 pipe = RuleStreamPipeline(
     spark, RULES, wd,
     track_verdict_state=_os0.environ.get("FULL_STACK_VERDICT", "1") != "0",
     salt_buckets=0 if _os0.environ.get("FULL_STACK_SALT", "1") == "0" else cores,
+    snapshot_cache=_os0.environ.get("FULL_STACK_SNAPSHOT_CACHE", "1") != "0",
 )
+
+def _labels_disk():
+    # live file count from the manifest + total bytes actually on disk
+    # (including superseded generations not yet expired) — the long-
+    # horizon evidence that compaction + expiry bound both
+    doc = pipe.labels.store._load_manifest(pipe.labels.current_version())
+    live = sum(len(rels) for rels in doc["buckets"].values())
+    total = 0
+    for root, _dirs, files in _os0.walk(pipe.labels.path):
+        for fn in files:
+            try:
+                total += _os0.path.getsize(_os0.path.join(root, fn))
+            except OSError:
+                pass
+    return live, total
+
 walls, merge_stats = [], []
 
 def timed(df, bid):
     t = time.perf_counter()
     pipe.process_batch(df, bid)
     walls.append((bid, time.perf_counter() - t))
-    merge_stats.append((bid, dict(pipe.labels.last_merge_stats)))
+    live, disk = _labels_disk()
+    merge_stats.append((bid, dict(pipe.labels.last_merge_stats,
+                                  live_files=live, disk_mb=round(disk / 1e6, 1))))
     print("BATCH", bid, round(walls[-1][1], 2), "s", flush=True)
 
 q1 = (
     spark.readStream.schema(pipe.schema)
-    .option("maxFilesPerTrigger", "8")
+    .option("maxFilesPerTrigger", max_files)
     .parquet({input_dir!r})
     .withWatermark("ts", "10 minutes")
     .writeStream.foreachBatch(timed)
@@ -188,24 +208,39 @@ def main() -> None:
     compacted = [m.get("rows_compacted", 0) for m in ms if m["batch"] > 0]
     stats_rows = "\n".join(
         f"| {m['batch']} | {m.get('partitions_touched', 0)} | {m.get('rows_appended', 0)} "
-        f"| {m.get('buckets_compacted', 0)} | {m.get('rows_compacted', 0)} |"
+        f"| {m.get('buckets_compacted', 0)} | {m.get('rows_compacted', 0)} "
+        f"| {m.get('live_files', '')} | {m.get('disk_mb', '')} |"
         for m in ms
+    )
+    # stamp the actual configuration into the section header so appended
+    # runs stay self-describing (round-4 nit: a TWS run carried the
+    # applyInPandasWithState boilerplate caption)
+    esc_on = os.environ.get("FULL_STACK_ESC", "1") != "0"
+    esc_impl = (
+        "transformWithStateInPandas twin, RocksDB state provider"
+        if os.environ.get("FULL_STACK_ESC_IMPL", "apply") == "tws"
+        else "applyInPandasWithState"
+    )
+    esc_part = (
+        f", with streaming escalation sessions ({esc_impl}) running concurrently "
+        "on the same input"
+        if esc_on
+        else " (escalation query OFF for this run)"
     )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:  # append-only
         f.write(
             "\n## Full-stack streaming run (tools/streaming_full_stack_bench.py)\n\n"
             f"local[{r['cores']}], {r['rows']:,} turns in {r['batches']} micro-batches; "
             "rule plan + HasLabel reads + merge-on-read label deltas + verdict tracking "
-            "+ exactly-once sink, with streaming escalation sessions "
-            "(applyInPandasWithState) running concurrently on the same input.\n\n"
+            f"+ exactly-once sink{esc_part}.\n\n"
             f"- sustained (batch 0 excluded): **{r['sustained_rows_per_sec']:,.0f} turns/s**\n"
             f"- wall for BOTH queries: {r['wall_both_queries_sec']:.1f}s\n"
             f"- per-batch label write cost is the DELTA, not the flagged set: appended "
             f"min {min(appended):,} / max {max(appended):,} rows; compaction (amortized, "
             f"fires when a bucket exceeds max_delta_files) "
             f"min {min(compacted):,} / max {max(compacted):,} rows\n\n"
-            "| batch | buckets touched | rows appended | buckets compacted | rows compacted |\n"
-            "|---|---|---|---|---|\n"
+            "| batch | buckets touched | rows appended | buckets compacted | rows compacted | live files | labels disk MB |\n"
+            "|---|---|---|---|---|---|---|\n"
             + stats_rows + "\n"
         )
 
