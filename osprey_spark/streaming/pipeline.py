@@ -82,7 +82,7 @@ class RuleStreamPipeline:
         maintenance_every: int = 16,
         keep_versions: int = 8,
         label_max_delta_files: int = 8,
-        snapshot_cache: bool = True,
+        snapshot_cache: bool = False,
     ):
         """``maintenance_every``: every N committed batches, expire state
         snapshots unreachable from the newest ``keep_versions`` manifests
@@ -118,11 +118,15 @@ class RuleStreamPipeline:
         # (lazy compaction past it); together with snapshot expiry it also
         # bounds DISK: delta generations stay live until compaction folds
         # them, after which expiry reclaims the superseded files
-        # snapshot_cache: per-batch HasLabel/verdict reads come from an
-        # incrementally-maintained RESOLVED snapshot in executor storage
-        # instead of re-running the MOR resolution aggregate over
-        # base+deltas every batch (the round-4 full-stack tax); replay
-        # reads still pin the pre-batch version via the MOR scan
+        # snapshot_cache (OPT-IN): per-batch HasLabel/verdict reads come
+        # from an incrementally-maintained RESOLVED snapshot in executor
+        # storage instead of re-running the MOR resolution over
+        # base+deltas. Measured at parity with the MOR scan in steady
+        # state at bench scale (compaction + filter pushdown already
+        # bound the scan — see state_store._cached_snapshot cost model
+        # and BENCH.md attribution), so the default stays the scan;
+        # enable for resolution-heavy/unfilterable read patterns. Replay
+        # reads still pin the pre-batch version via the MOR scan.
         self.labels = LabelStateStore(
             os.path.join(workdir, "labels"),
             max_delta_files=label_max_delta_files,

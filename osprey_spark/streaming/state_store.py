@@ -265,12 +265,23 @@ class HashPartitionedStateStore:
           are discarded for it, so non-idempotent resolvers (e.g. SUM)
           never double-count.
 
-        Cost per batch: one fold over the dirty buckets' rows + an
-        O(|state|) materialization with NO shuffle for clean buckets —
-        replacing per-site scan+aggregate+shuffle. On a real cluster the
+        Cost model (measured, round 5 — BENCH.md "snapshot cache
+        attribution"): the advance is an EAGER ``localCheckpoint`` — one
+        dedicated O(|state|) job per store per batch whose steady-state
+        per-batch cost measured AT PARITY with the plain MOR scan at
+        bench scale, because lazy compaction already bounds that scan at
+        ``max_delta_files`` delta files and HasLabel's (entity_type,
+        label_name) filters push into it, so there was little aggregate
+        left to avoid. A LAZY variant (persist, materialize in the
+        consumer, truncate lineage every K advances) was tried and
+        measured strictly worse (fold-over-fold chains degraded 9→55s
+        per batch) — do not resurrect it. Hence ``snapshot_cache``
+        defaults OFF and is the opt-in materialized-view path for
+        resolution-heavy read patterns: whole-state reads with no
+        pushable filter, expensive resolvers, or many sites reading the
+        SAME unfiltered snapshot per batch. On a real cluster the
         checkpoint blocks live on executors (MEMORY_AND_DISK), the same
-        placement an Iceberg materialized view or Delta OPTIMIZE'd
-        snapshot table would give."""
+        placement an Iceberg materialized view would give."""
         buckets = self._manifest(v)
         c = self._cache
         if c is not None and (c["session"] is not spark):

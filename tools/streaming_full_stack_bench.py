@@ -76,7 +76,7 @@ pipe = RuleStreamPipeline(
     spark, RULES, wd,
     track_verdict_state=_os0.environ.get("FULL_STACK_VERDICT", "1") != "0",
     salt_buckets=0 if _os0.environ.get("FULL_STACK_SALT", "1") == "0" else cores,
-    snapshot_cache=_os0.environ.get("FULL_STACK_SNAPSHOT_CACHE", "1") != "0",
+    snapshot_cache=_os0.environ.get("FULL_STACK_SNAPSHOT_CACHE", "0") == "1",
 )
 
 def _labels_disk():
@@ -177,6 +177,7 @@ print(json.dumps({{
     "cores": cores, "rows": n, "batches": len(walls),
     "sustained_rows_per_sec": tail_rows / tail_sec,
     "wall_both_queries_sec": wall_both,
+    "batch_walls": [round(w, 2) for _, w in walls],
     "merge_stats": [{{"batch": bid, **st}} for bid, st in merge_stats],
 }}))
 """
@@ -185,7 +186,9 @@ print(json.dumps({{
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_convs = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
-    input_dir = f"{INPUT_BASE}_{n_convs}"
+    # FULL_STACK_INPUT overrides the generated input (e.g. the Zipf-skewed
+    # copy tools/make_skewed_input.py writes)
+    input_dir = os.environ.get("FULL_STACK_INPUT", f"{INPUT_BASE}_{n_convs}")
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         subprocess.run(
             [sys.executable, "-c", _GEN.format(repo=REPO, input_dir=input_dir), str(n_convs)],
