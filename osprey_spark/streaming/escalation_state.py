@@ -68,10 +68,14 @@ def _make_escalation_fn(gap_seconds: float, min_triggers: int):
             else pd.DataFrame({"ts": [], "is_trigger": []})
         )
         if len(batch):
-            for ts, trig in sorted(
-                zip(batch["ts"], batch["is_trigger"]), key=lambda x: x[0]
-            ):
-                t = ts.timestamp()
+            # vectorized sort + epoch conversion (numpy) before the
+            # inherently-sequential session fold — bounds Python-per-row
+            # work on fat groups (hot conversations) to the fold itself
+            batch = batch.sort_values("ts", kind="stable")
+            ts_arr = batch["ts"].astype("int64").to_numpy() / 1e9
+            trig_arr = batch["is_trigger"].to_numpy()
+            for t, trig in zip(ts_arr, trig_arr):
+                t = float(t)
                 if last_ts is None or t - last_ts > gap_seconds:
                     # new session
                     session_start, n_turns, n_triggers, emitted = t, 0, 0, False

@@ -70,12 +70,17 @@ class _EscalationProcessor(StatefulProcessor):
             else pd.DataFrame({"ts": [], "is_trigger": []})
         )
         if len(batch):
-            # one concat + one event-time sort per (key, batch) — the same
-            # cross-chunk ordering guarantee as escalation_state.py
-            for ts, trig in sorted(
-                zip(batch["ts"], batch["is_trigger"]), key=lambda x: x[0]
-            ):
-                t = ts.timestamp()
+            # one vectorized event-time sort per (key, batch) — the same
+            # cross-chunk ordering guarantee as escalation_state.py, with
+            # the sort and the epoch conversion done columnar (numpy)
+            # before the inherently-sequential session fold; on a fat
+            # group (hot conversation) this keeps Python-per-row work to
+            # the fold itself
+            batch = batch.sort_values("ts", kind="stable")
+            ts_arr = batch["ts"].astype("int64").to_numpy() / 1e9
+            trig_arr = batch["is_trigger"].to_numpy()
+            for t, trig in zip(ts_arr, trig_arr):
+                t = float(t)
                 if last_ts is None or t - last_ts > self.gap_seconds:
                     session_start, n_turns, n_triggers, emitted = t, 0, 0, False
                 last_ts = t

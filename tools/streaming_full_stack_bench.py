@@ -172,10 +172,17 @@ assert total == n, (total, n)
 tail = [(bid, w) for bid, w in walls if bid > 0]
 tail_rows = sum(rows_by_batch[bid] for bid, _ in tail)
 tail_sec = sum(w for _, w in tail)
+# steady-state median: per-batch throughput, median over the tail — the
+# noise-robust number on this host (episodic early-batch stalls inflate
+# the sustained mean; see BENCH.md round-5 attribution)
+import statistics
+per_batch_rates = sorted(rows_by_batch[bid] / w for bid, w in tail)
+steady_median = statistics.median(per_batch_rates) if per_batch_rates else 0.0
 shutil.rmtree(wd, ignore_errors=True)
 print(json.dumps({{
     "cores": cores, "rows": n, "batches": len(walls),
     "sustained_rows_per_sec": tail_rows / tail_sec,
+    "steady_median_rows_per_sec": steady_median,
     "wall_both_queries_sec": wall_both,
     "batch_walls": [round(w, 2) for _, w in walls],
     "merge_stats": [{{"batch": bid, **st}} for bid, st in merge_stats],
@@ -236,7 +243,8 @@ def main() -> None:
             f"local[{r['cores']}], {r['rows']:,} turns in {r['batches']} micro-batches; "
             "rule plan + HasLabel reads + merge-on-read label deltas + verdict tracking "
             f"+ exactly-once sink{esc_part}.\n\n"
-            f"- sustained (batch 0 excluded): **{r['sustained_rows_per_sec']:,.0f} turns/s**\n"
+            f"- sustained (batch 0 excluded): **{r['sustained_rows_per_sec']:,.0f} turns/s** "
+            f"(steady-state median per-batch rate: {r.get('steady_median_rows_per_sec', 0):,.0f} turns/s)\n"
             f"- wall for BOTH queries: {r['wall_both_queries_sec']:.1f}s\n"
             f"- per-batch label write cost is the DELTA, not the flagged set: appended "
             f"min {min(appended):,} / max {max(appended):,} rows; compaction (amortized, "
