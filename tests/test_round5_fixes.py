@@ -140,3 +140,81 @@ def test_manifest_stats_survive_and_size_query_never_walks(spark, tmp_path):
     with mock.patch.object(ss.glob, "glob", side_effect=AssertionError("fs walk!")):
         assert store.approx_size_bytes() == expect
         assert isinstance(store.broadcastable(), bool)
+
+
+def test_crash_between_concurrent_state_merges_replays_exactly_once(spark, tmp_path):
+    """Round-5 overlaps the label and verdict merges within a batch; a
+    crash AFTER one store applied but BEFORE the other (and before the
+    sink marker) must replay into: already-applied merge skipped
+    (idempotent batch_id), missing merge applied, sink row counts exact —
+    and HasLabel must still see the PRE-batch label snapshot on replay."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from osprey_spark.streaming.pipeline import RuleStreamPipeline
+
+    RULES = {
+        "main.sml": """
+ConvId: Entity[str] = EntityJson(type='Conversation', path='$.conv_id')
+Text: str = JsonData(path='$.text')
+Flagged = HasLabel(entity=ConvId, label='flagged')
+Hello = Rule(when_all=[TextContains(text=Text, phrase='hello')], description='d')
+Repeat = Rule(when_all=[Hello, Flagged], description='r')
+WhenRules(rules_any=[Hello], then=[DeclareVerdict(verdict='flag'), LabelAdd(entity=ConvId, label='flagged')])
+WhenRules(rules_any=[Repeat], then=[DeclareVerdict(verdict='repeat')])
+"""
+    }
+    TS = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t0 = datetime.datetime(2024, 1, 1)
+    pipe = RuleStreamPipeline(
+        spark, RULES, str(tmp_path / "p"), track_verdict_state=True
+    )
+
+    def batch(b):
+        rows = [
+            (f"c{i}", b, "user", "hello" if i % 2 == 0 else "ok", "",
+             t0 + datetime.timedelta(minutes=b))
+            for i in range(4)
+        ]
+        return spark.createDataFrame(rows, TS)
+
+    pipe.process_batch(batch(0), 0)
+
+    # crash batch 1 after the LABEL merge landed but before the VERDICT
+    # merge (the concurrent window) — and before the sink marker
+    orig = pipe._update_verdict_state
+    calls = {"n": 0}
+
+    def boom(out, bid):
+        if bid == 1 and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash between state merges")
+        return orig(out, bid)
+
+    pipe._update_verdict_state = boom
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.process_batch(batch(1), 1)
+    assert pipe.labels.store.last_batch_id() == 1  # label merge DID land
+    assert pipe.verdict_state.last_batch_id() == 0  # verdict merge did NOT
+    assert not pipe.sink.is_committed(1)
+
+    pipe.process_batch(batch(1), 1)  # replay
+    pipe.process_batch(batch(2), 2)
+
+    res = pipe.results()
+    assert res.count() == 12  # 3 batches x 4 rows, no duplicates
+    # repeat fires for hello-convs in batches 1 and 2 only (reads the
+    # PRE-batch snapshot even on the replay whose labels already landed)
+    n_repeat = res.filter(F.array_contains("__verdicts", "repeat")).count()
+    assert n_repeat == 4
+    # verdict counts: hello-convs emitted 1 (b0) + 2 (b1) verdicts -> rows
+    # of batch 2 see exactly 3 priors; double-applied state would show more
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["prior_verdict_count"]
+        for r in res.collect()
+    }
+    assert got[("c0", 2)] == 3 and got[("c0", 1)] == 1 and got[("c2", 2)] == 3
+    assert got[("c1", 2)] == 0
