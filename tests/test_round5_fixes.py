@@ -218,3 +218,65 @@ WhenRules(rules_any=[Repeat], then=[DeclareVerdict(verdict='repeat')])
     }
     assert got[("c0", 2)] == 3 and got[("c0", 1)] == 1 and got[("c2", 2)] == 3
     assert got[("c1", 2)] == 0
+
+
+def test_label_store_matches_sequential_reference_fold_property(spark, tmp_path):
+    """Property check: for RANDOM mutation sequences, the MOR store's
+    resolved snapshot (delta appends + associative resolver + whatever
+    compaction happened to fire) must equal a pure-Python sequential fold
+    of the reference's conflict rules (osprey_shared/labels.py):
+    within a batch the higher (status, event_ts) wins per key; across
+    batches an automatic mutation cannot override a standing manual
+    status. Randomness is seeded — failures reproduce."""
+    import itertools
+    import random
+
+    rnd = random.Random(20260817)
+    m = datetime.timedelta(minutes=1)
+    for case, max_delta in [(0, 1), (1, 2), (2, 99)]:
+        # small alphabet → dense conflicts; max_delta 1/2 force heavy
+        # compaction so the associative fold is exercised over many
+        # prefix shapes
+        store = LabelStateStore(
+            str(tmp_path / f"labels_{case}"),
+            num_partitions=2,
+            max_delta_files=max_delta,
+        )
+        state: dict[tuple, tuple] = {}  # key -> (status, created_at)
+        counter = itertools.count()
+        for b in range(6):
+            batch = [
+                (
+                    "User",
+                    f"u{rnd.randrange(3)}",
+                    f"l{rnd.randrange(2)}",
+                    rnd.randrange(4),
+                    T0 + next(counter) * m,
+                    None,
+                )
+                for _ in range(rnd.randrange(1, 6))
+            ]
+            store.apply_mutations(
+                spark.createDataFrame(batch, MSCHEMA), batch_id=b
+            )
+            # reference fold: in-batch winner = max (status, event_ts);
+            # cross-batch: manual state only yields to manual mutations
+            winners: dict[tuple, tuple] = {}
+            for et, eid, lbl, st, ts, _ in batch:
+                k = (et, eid, lbl)
+                w = winners.get(k)
+                if w is None or (st, ts) > (w[0], w[1]):
+                    winners[k] = (st, ts)
+            for k, (st, ts) in winners.items():
+                cur = state.get(k)
+                if cur is not None and cur[0] in (2, 3) and st not in (2, 3):
+                    continue  # CANNOT_OVERRIDE_MANUAL
+                state[k] = (st, ts)
+        got = {
+            (r["entity_type"], r["entity_id"], r["label_name"]): (
+                r["status"],
+                r["created_at"],
+            )
+            for r in store.read(spark).collect()
+        }
+        assert got == state, f"case {case} (max_delta_files={max_delta})"
