@@ -441,6 +441,81 @@ FROM events e
 """
 
 
+def _haslabel_error_on_empty(spark, sf_dir):
+    """HasLabel's fail-closed labels-service-integrity guard
+    (stdlib/udfs/labels.py:135-145) through the round-5 CONSOLIDATED join
+    path: two sites on the same entity, one with ``error_on_empty=True``,
+    resolve via ONE union-filtered join whose aggregate also carries the
+    has-ANY-label flag. Label state: 'errored' for users with ≥1 error
+    event, 'buyer' for users with ≥1 purchase — so a user can have SOME
+    label but not the checked one (False), the checked one (True), or no
+    labels at all (NULL + __error_count, the fail-closed arm). NULL
+    booleans are carried as -1 sentinels for the driver's hash compare."""
+    from osprey_spark.sml import RulesetCompiler
+
+    df = _events(spark, sf_dir)
+
+    def _labels_for(event_type, name):
+        return (
+            df.filter(F.col("event_type") == event_type)
+            .groupBy(F.col("user_id").cast("string").alias("entity_id"))
+            .agg(F.min("ts").alias("created_at"))
+            .select(
+                F.lit("User").alias("entity_type"),
+                "entity_id",
+                F.lit(name).alias("label_name"),
+                F.lit(1).alias("status"),
+                "created_at",
+                F.lit(None).cast("timestamp").alias("expires_ts"),
+                F.col("created_at").alias("apply_at"),
+            )
+        )
+
+    label_state = _labels_for("error", "errored").unionByName(
+        _labels_for("purchase", "buyer")
+    )
+    sml = {
+        "main.sml": """
+U: Entity[str] = EntityJson(type='User', path='$.user_id')
+Checked = HasLabel(entity=U, label='errored', error_on_empty=True)
+Buyer = HasLabel(entity=U, label='buyer')
+"""
+    }
+    plan = RulesetCompiler(
+        sml,
+        input_schema=df.schema,
+        action_name_col="event_type",
+        timestamp_col="ts",
+        data_json_col="props",
+    ).compile()
+    out = plan.apply(df, passthrough=["event_id"], label_state=label_state)
+    return out.select(
+        "event_id",
+        F.when(F.col("Checked").isNull(), F.lit(-1))
+        .otherwise(F.col("Checked").cast("int"))
+        .alias("checked_i"),
+        F.col("Buyer").alias("buyer"),
+        F.col("__error_count").cast("int").alias("err_cnt"),
+    )
+
+
+_HASLABEL_ERROR_ON_EMPTY_ORACLE = """
+WITH err_users AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid FROM events WHERE event_type = 'error'
+), buyers AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id,
+  CASE WHEN er.uid IS NULL AND b.uid IS NULL THEN -1
+       WHEN er.uid IS NOT NULL THEN 1 ELSE 0 END AS checked_i,
+  (b.uid IS NOT NULL) AS buyer,
+  CASE WHEN er.uid IS NULL AND b.uid IS NULL THEN 1 ELSE 0 END AS err_cnt
+FROM events e
+LEFT JOIN err_users er ON er.uid = CAST(e.user_id AS VARCHAR)
+LEFT JOIN buyers b ON b.uid = CAST(e.user_id AS VARCHAR)
+"""
+
+
 def _distinct_users(spark, sf_dir):
     return (
         _events(spark, sf_dir)
@@ -1229,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_value_bucketed": _topn_value_bucketed,
         "haslabel_reputation": _haslabel_reputation,
         "haslabel_multi_reason": _haslabel_multi_reason,
+        "haslabel_error_on_empty": _haslabel_error_on_empty,
         "distinct_users_by_type": _distinct_users,
         "approx_distinct_users": _approx_distinct,
         "scan_page": _scan_page,
@@ -1270,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "topn_value_bucketed": _TOPN_BUCKETED_ORACLE,
         "haslabel_reputation": _HASLABEL_REPUTATION_ORACLE,
         "haslabel_multi_reason": _HASLABEL_MULTI_REASON_ORACLE,
+        "haslabel_error_on_empty": _HASLABEL_ERROR_ON_EMPTY_ORACLE,
         "distinct_users_by_type": _DISTINCT_USERS_ORACLE,
         "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
         "scan_page": _SCAN_ORACLE,

@@ -118,6 +118,53 @@ def test_multi_site_haslabel_plans_one_join(spark):
     assert logical.count("Join ") == 1, logical
 
 
+def test_error_on_empty_folds_any_check_into_the_single_join(spark):
+    """error_on_empty used to cost a SECOND join (distinct any-label
+    probe); the consolidated path carries the has-any-label flag in the
+    same aggregate. haslabel_error_on_empty has 2 sites + the guard on
+    one of them → still exactly one join."""
+    df = entry_mod.queries()["haslabel_error_on_empty"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Join ") == 1, logical
+
+
+def test_sites_on_distinct_entities_group_separately(spark):
+    """Sites joining on DIFFERENT entity expressions must not collapse
+    into one group (their join keys differ): 2 sites on U + 1 site on a
+    different entity column → exactly two joins."""
+    from pyspark.sql import functions as F
+
+    from osprey_spark.sml import RulesetCompiler
+
+    df = entry_mod.queries.__globals__["_events"](spark, SF)
+    state = df.sparkSession.createDataFrame(
+        [],
+        "entity_type string, entity_id string, label_name string, "
+        "status int, created_at timestamp, expires_ts timestamp",
+    )
+    sml = {
+        "main.sml": """
+U: Entity[str] = EntityJson(type='User', path='$.user_id')
+E: Entity[str] = EntityJson(type='Event', path='$.event_type')
+A = HasLabel(entity=U, label='x')
+B = HasLabel(entity=U, label='y')
+C = HasLabel(entity=E, label='z')
+"""
+    }
+    plan = RulesetCompiler(
+        sml,
+        input_schema=df.schema,
+        action_name_col="event_type",
+        timestamp_col="ts",
+        data_json_col="props",
+    ).compile()
+    out = plan.apply(df, passthrough=["event_id"], label_state=state)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    n = logical.count("Join ")
+    assert n == 2, f"expected 2 joins (U-group consolidated + E), got {n}"
+    assert {"A", "B", "C"} <= set(out.columns)
+
+
 def test_mor_read_pushes_key_filters_below_resolution(spark, tmp_path):
     """Merge-on-read reads resolve base+deltas with a groupBy on the key
     columns; a per-label HasLabel read filters on (entity_type,
