@@ -711,3 +711,61 @@ def test_tws_crash_between_batches_resumes_exactly_once(spark, tmp_path):
     # alert fires on its first post-resume trigger with full turn history
     assert alerts["b"][2] == t + 2 * m
     assert alerts["b"][3] == 3 and alerts["b"][4] == 2
+
+
+def test_stream_stream_join_turns_with_recent_alerts(spark, tmp_path):
+    """Native watermarked stream-stream LEFT OUTER join (the north rule's
+    'stateful join' on two LIVE streams): a turn matches alerts for the
+    same conversation raised within the lookback window ending at the
+    turn's own timestamp; turns with no alert in-window emit with nulls
+    once the alert watermark passes; out-of-window alerts never match."""
+    from osprey_spark.streaming.stream_join import turns_with_recent_alerts
+
+    t0 = T0
+    m = datetime.timedelta(minutes=1)
+    turns_dir, alerts_dir = str(tmp_path / "turns"), str(tmp_path / "alerts")
+    ASCHEMA = "conv_id string, alert_ts timestamp, kind string"
+    spark.createDataFrame(
+        [
+            ("a", 0, "user", "x", "", t0 + 10 * m),   # alert at t0+9 in window
+            ("a", 1, "user", "x", "", t0 + 80 * m),   # 71 min after alert: out of 30-min lookback
+            ("b", 0, "user", "x", "", t0 + 10 * m),   # no alerts for b at all
+            # far-future turns push BOTH watermarks past every window above
+            ("z", 0, "user", "x", "", t0 + 600 * m),
+        ],
+        TSCHEMA,
+    ).coalesce(1).write.parquet(turns_dir)
+    spark.createDataFrame(
+        [
+            ("a", t0 + 9 * m, "escalation"),
+            ("a", t0 + 12 * m, "late_alert"),  # AFTER a's turn → must not match it
+            ("z", t0 + 600 * m, "flush"),
+        ],
+        ASCHEMA,
+    ).coalesce(1).write.parquet(alerts_dir)
+
+    turns = spark.readStream.schema(TSCHEMA).parquet(turns_dir)
+    alerts = spark.readStream.schema(ASCHEMA).parquet(alerts_dir)
+    out = turns_with_recent_alerts(
+        turns, alerts, lookback_seconds=1800,
+        turn_watermark="10 minutes", alert_watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT conv_id, turn_idx, kind FROM ss_join_out "
+        "WHERE conv_id <> 'z' ORDER BY conv_id, turn_idx, kind"
+    ).collect()
+    got = [(r["conv_id"], r["turn_idx"], r["kind"]) for r in rows]
+    assert got == [
+        ("a", 0, "escalation"),  # 1 min before the turn → in window
+        ("a", 1, None),          # both alerts fell out of the 30-min lookback
+        ("b", 0, None),          # never had an alert; emitted on watermark pass
+    ], got
