@@ -46,10 +46,13 @@ def _make_state_fn(n_steps: int, within_seconds: int | None):
             pending = {}
 
         for pdf in pdfs:
-            for t, s, m in zip(pdf["turn_idx"], pdf["ts"], pdf["mask"]):
+            # columnar epoch conversion once per chunk (numpy) — the
+            # per-row work is just the dict insert
+            ts_arr = pdf["ts"].astype("int64").to_numpy() / 1e9
+            for t, s, m in zip(pdf["turn_idx"].to_numpy(), ts_arr, pdf["mask"].to_numpy()):
                 t = int(t)
                 if t >= next_turn and t not in pending:
-                    pending[t] = (s.timestamp(), int(m))
+                    pending[t] = (float(s), int(m))
 
         out_rows = []
         # consume strictly contiguous turns

@@ -56,10 +56,13 @@ class _CepProcessor(StatefulProcessor):
         pending = {int(t): (float(s), int(m)) for t, s, m in self.buf.get()}
 
         for pdf in rows:
-            for t, s, m in zip(pdf["turn_idx"], pdf["ts"], pdf["mask"]):
+            # columnar epoch conversion once per chunk (numpy) — the
+            # per-row work is just the dict insert
+            ts_arr = pdf["ts"].astype("int64").to_numpy() / 1e9
+            for t, s, m in zip(pdf["turn_idx"].to_numpy(), ts_arr, pdf["mask"].to_numpy()):
                 t = int(t)
                 if t >= next_turn and t not in pending:
-                    pending[t] = (s.timestamp(), int(m))
+                    pending[t] = (float(s), int(m))
 
         out_rows = []
         # consume strictly contiguous turns (same fold as cep_state.py)
