@@ -280,3 +280,56 @@ def test_label_store_matches_sequential_reference_fold_property(spark, tmp_path)
             for r in store.read(spark).collect()
         }
         assert got == state, f"case {case} (max_delta_files={max_delta})"
+
+
+def test_mx_lookup_stub_contract(spark):
+    """MXLookup is a documented stub (live DNS out of scope, SURVEY
+    §2.C): it must compile, type as an optional string, return null for
+    every row, and compose with ResolveOptional's default arm — the
+    contract a caller relies on until a resolver plugin lands."""
+    from osprey_spark.sml import RulesetCompiler
+
+    df = spark.createDataFrame([("e1", "example.com")], "event_id string, props string")
+    sml = {
+        "main.sml": """
+Domain: str = JsonData(path='$.props')
+Mx = MXLookup(domain=Domain)
+MxOr = ResolveOptional(value=Mx, default='none')
+"""
+    }
+    import datetime
+
+    df = df.withColumn("ts", F.lit(datetime.datetime(2024, 1, 1)))
+    plan = RulesetCompiler(
+        sml, input_schema=df.schema, action_name_col="event_id", timestamp_col="ts"
+    ).compile()
+    row = plan.apply(df, passthrough=["event_id"]).collect()[0]
+    assert row["Mx"] is None and row["MxOr"] == "none"
+
+
+def test_console_sink_prints_batch(spark, tmp_path, capsys):
+    """The StdoutOutputSink analog (`console=True`): each committed batch
+    is shown on stdout alongside the durable sink — the debugging tee the
+    reference's stdout sink provides."""
+    import datetime
+
+    from osprey_spark.streaming.pipeline import RuleStreamPipeline
+
+    RULES = {
+        "main.sml": """
+Text: str = JsonData(path='$.text')
+R = Rule(when_all=[TextContains(text=Text, phrase='hello')], description='d')
+WhenRules(rules_any=[R], then=[DeclareVerdict(verdict='flag')])
+"""
+    }
+    TS = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    pipe = RuleStreamPipeline(spark, RULES, str(tmp_path / "p"), console=True)
+    pipe.process_batch(
+        spark.createDataFrame(
+            [("c0", 0, "user", "hello world", "", datetime.datetime(2024, 1, 1))], TS
+        ),
+        0,
+    )
+    printed = capsys.readouterr().out
+    assert "__verdicts" in printed and "hello world" in printed
+    assert pipe.results().count() == 1  # the durable sink still committed
