@@ -516,6 +516,43 @@ LEFT JOIN buyers b ON b.uid = CAST(e.user_id AS VARCHAR)
 """
 
 
+def _stream_join_recent_alerts(spark, sf_dir):
+    """JOIN SEMANTICS of the watermarked stream-stream join
+    (streaming/stream_join.py) under the DuckDB oracle: on batch inputs
+    ``withWatermark`` is a no-op, so ``turns_with_recent_alerts`` reduces
+    to exactly the time-range LEFT OUTER interval join — each event picks
+    up every 'error' event by the same user within the hour ENDING at its
+    own timestamp. The streaming-only aspects (state eviction, null
+    emission on watermark pass, late-data) are pinned by
+    test_stream_stream_join_turns_with_recent_alerts; this query gates
+    the predicate itself row-for-row."""
+    from osprey_spark.streaming.stream_join import turns_with_recent_alerts
+
+    ev = _events(spark, sf_dir)
+    turns = ev.select(
+        "event_id", F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    alerts = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("alert_ts"),
+        F.col("event_id").alias("alert_id"),
+    )
+    out = turns_with_recent_alerts(turns, alerts, lookback_seconds=3600)
+    return out.select(
+        "event_id", F.coalesce(F.col("alert_id"), F.lit(-1)).alias("alert_id")
+    )
+
+
+_STREAM_JOIN_RECENT_ALERTS_ORACLE = """
+SELECT e.event_id, COALESCE(a.event_id, -1) AS alert_id
+FROM events e
+LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') a
+  ON CAST(a.user_id AS VARCHAR) = CAST(e.user_id AS VARCHAR)
+ AND a.ts >= e.ts - INTERVAL 3600 SECONDS
+ AND a.ts <= e.ts
+"""
+
+
 def _distinct_users(spark, sf_dir):
     return (
         _events(spark, sf_dir)
@@ -1305,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haslabel_reputation": _haslabel_reputation,
         "haslabel_multi_reason": _haslabel_multi_reason,
         "haslabel_error_on_empty": _haslabel_error_on_empty,
+        "stream_join_recent_alerts": _stream_join_recent_alerts,
         "distinct_users_by_type": _distinct_users,
         "approx_distinct_users": _approx_distinct,
         "scan_page": _scan_page,
@@ -1347,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "haslabel_reputation": _HASLABEL_REPUTATION_ORACLE,
         "haslabel_multi_reason": _HASLABEL_MULTI_REASON_ORACLE,
         "haslabel_error_on_empty": _HASLABEL_ERROR_ON_EMPTY_ORACLE,
+        "stream_join_recent_alerts": _STREAM_JOIN_RECENT_ALERTS_ORACLE,
         "distinct_users_by_type": _DISTINCT_USERS_ORACLE,
         "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
         "scan_page": _SCAN_ORACLE,
