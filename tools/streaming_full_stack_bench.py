@@ -77,6 +77,7 @@ pipe = RuleStreamPipeline(
     track_verdict_state=_os0.environ.get("FULL_STACK_VERDICT", "1") != "0",
     salt_buckets=0 if _os0.environ.get("FULL_STACK_SALT", "1") == "0" else cores,
     snapshot_cache=_os0.environ.get("FULL_STACK_SNAPSHOT_CACHE", "0") == "1",
+    label_max_delta_files=int(_os0.environ.get("FULL_STACK_LABEL_MAX_DELTA", "8")),
 )
 
 def _labels_disk():
