@@ -277,9 +277,13 @@ class HashPartitionedStateStore:
         measured strictly worse (fold-over-fold chains degraded 9→55s
         per batch) — do not resurrect it. Hence ``snapshot_cache``
         defaults OFF and is the opt-in materialized-view path for
-        resolution-heavy read patterns: whole-state reads with no
-        pushable filter, expensive resolvers, or many sites reading the
-        SAME unfiltered snapshot per batch. On a real cluster the
+        resolution-heavy read patterns. Its measured WINNING regime
+        (BENCH.md "winning regime"): deep delta stacks — with compaction
+        deferred (``max_delta_files=64``, 32-file stacks) the scan's
+        per-batch wall grows with stack depth while the cache's stays
+        flat at the delta size, a 1.6× steady-state win. Flip it on
+        where compaction is deferred or rewrite-cost-bound (write-hot
+        tables on object stores). On a real cluster the
         checkpoint blocks live on executors (MEMORY_AND_DISK), the same
         placement an Iceberg materialized view would give."""
         buckets = self._manifest(v)
