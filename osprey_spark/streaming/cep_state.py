@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from osprey_spark.streaming._timeutil import epoch_seconds
 
 OUTPUT_SCHEMA = "conv_id string, matched_at_turn long, matched_at_ts timestamp"
 STATE_SCHEMA = (
@@ -46,10 +47,14 @@ def _make_state_fn(n_steps: int, within_seconds: int | None):
             pending = {}
 
         for pdf in pdfs:
-            # columnar epoch conversion once per chunk (numpy) — the
-            # per-row work is just the dict insert
-            ts_arr = pdf["ts"].astype("int64").to_numpy() / 1e9
+            # columnar epoch conversion once per chunk (numpy, ns-
+            # normalized, NaT→NaN) — the per-row work is just the dict
+            # insert; NaT rows are dropped rather than folded as
+            # INT64_MIN epochs
+            ts_arr = epoch_seconds(pdf["ts"])
             for t, s, m in zip(pdf["turn_idx"].to_numpy(), ts_arr, pdf["mask"].to_numpy()):
+                if s != s:  # NaT
+                    continue
                 t = int(t)
                 if t >= next_turn and t not in pending:
                     pending[t] = (float(s), int(m))

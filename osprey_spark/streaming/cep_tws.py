@@ -31,6 +31,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from osprey_spark.streaming.cep_state import OUTPUT_SCHEMA
+from osprey_spark.streaming._timeutil import epoch_seconds
 
 _COLS = ["conv_id", "matched_at_turn", "matched_at_ts"]
 
@@ -56,10 +57,14 @@ class _CepProcessor(StatefulProcessor):
         pending = {int(t): (float(s), int(m)) for t, s, m in self.buf.get()}
 
         for pdf in rows:
-            # columnar epoch conversion once per chunk (numpy) — the
-            # per-row work is just the dict insert
-            ts_arr = pdf["ts"].astype("int64").to_numpy() / 1e9
+            # columnar epoch conversion once per chunk (numpy, ns-
+            # normalized, NaT→NaN) — the per-row work is just the dict
+            # insert; NaT rows are dropped rather than folded as
+            # INT64_MIN epochs
+            ts_arr = epoch_seconds(pdf["ts"])
             for t, s, m in zip(pdf["turn_idx"].to_numpy(), ts_arr, pdf["mask"].to_numpy()):
+                if s != s:  # NaT
+                    continue
                 t = int(t)
                 if t >= next_turn and t not in pending:
                     pending[t] = (float(s), int(m))

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from osprey_spark.streaming._timeutil import epoch_seconds
 
 OUTPUT_SCHEMA = (
     "conv_id string, session_start timestamp, escalated_at timestamp, "
@@ -71,8 +72,8 @@ def _make_escalation_fn(gap_seconds: float, min_triggers: int):
             # vectorized sort + epoch conversion (numpy) before the
             # inherently-sequential session fold — bounds Python-per-row
             # work on fat groups (hot conversations) to the fold itself
-            batch = batch.sort_values("ts", kind="stable")
-            ts_arr = batch["ts"].astype("int64").to_numpy() / 1e9
+            batch = batch.dropna(subset=["ts"]).sort_values("ts", kind="stable")
+            ts_arr = epoch_seconds(batch["ts"])
             trig_arr = batch["is_trigger"].to_numpy()
             for t, trig in zip(ts_arr, trig_arr):
                 t = float(t)

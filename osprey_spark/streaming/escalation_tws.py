@@ -41,6 +41,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from osprey_spark.streaming.escalation_state import OUTPUT_SCHEMA, STATE_SCHEMA
+from osprey_spark.streaming._timeutil import epoch_seconds
 
 _COLS = ["conv_id", "session_start", "escalated_at", "n_turns", "n_triggers"]
 
@@ -76,8 +77,8 @@ class _EscalationProcessor(StatefulProcessor):
             # before the inherently-sequential session fold; on a fat
             # group (hot conversation) this keeps Python-per-row work to
             # the fold itself
-            batch = batch.sort_values("ts", kind="stable")
-            ts_arr = batch["ts"].astype("int64").to_numpy() / 1e9
+            batch = batch.dropna(subset=["ts"]).sort_values("ts", kind="stable")
+            ts_arr = epoch_seconds(batch["ts"])
             trig_arr = batch["is_trigger"].to_numpy()
             for t, trig in zip(ts_arr, trig_arr):
                 t = float(t)

@@ -83,6 +83,7 @@ class RuleStreamPipeline:
         keep_versions: int = 8,
         label_max_delta_files: int = 8,
         snapshot_cache: bool = False,
+        concurrent_merges: bool = True,
     ):
         """``maintenance_every``: every N committed batches, expire state
         snapshots unreachable from the newest ``keep_versions`` manifests
@@ -113,6 +114,7 @@ class RuleStreamPipeline:
         self.salt_buckets = salt_buckets
         self.maintenance_every = maintenance_every
         self.keep_versions = keep_versions
+        self.concurrent_merges = concurrent_merges
         self.sink = IdempotentParquetSink(os.path.join(workdir, "results"))
         # label_max_delta_files bounds MOR read amplification per bucket
         # (lazy compaction past it); together with snapshot expiry it also
@@ -269,26 +271,54 @@ class RuleStreamPipeline:
             # -- single evaluation: the first action below materializes the
             # cache; everything after reads it
             if self.plan.labels and self.track_verdict_state:
-                # BOTH state merges are due: materialize the evaluated
-                # frame once, then run the two merges CONCURRENTLY — they
-                # write to disjoint stores, each is small (delta-sized, a
-                # handful of partitions) and underutilizes the cluster
-                # alone, and both are idempotent per batch_id. Ordering
-                # vs the sink commit marker is preserved: both merges
-                # complete (or raise) before the sink write below — the
-                # round-5 attribution showed per-batch FIXED JOB COUNT is
-                # the full-stack tax, so overlap what can overlap.
-                out.count()  # materialize the persist before sharing it
-                from concurrent.futures import ThreadPoolExecutor
-
+                # BOTH state merges are due. They write to disjoint
+                # stores, each is small (delta-sized, a handful of
+                # partitions) and underutilizes the cluster alone, and
+                # both are idempotent per batch_id. Ordering vs the sink
+                # commit marker is preserved either way: both merges
+                # complete (or raise) before the sink write below.
                 mutations = self.plan.label_mutation_rows(out)
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    f1 = pool.submit(
-                        self.labels.apply_mutations, mutations, batch_id
-                    )
-                    f2 = pool.submit(self._update_verdict_state, out, batch_id)
-                    f1.result()
-                    f2.result()
+                if self.concurrent_merges:
+                    # Materialize the persist BEFORE sharing it across
+                    # threads: single-evaluation requires compute-once
+                    # (rules may be nondeterministic — RandomBool), and
+                    # on a multi-executor cluster two concurrent first
+                    # jobs could each compute a partition before either
+                    # caches it. The noop-format write scans and caches
+                    # JVM-side in ONE stage — no count() final-agg
+                    # exchange, no rows to the driver.
+                    out.write.format("noop").mode("overwrite").save()
+                    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        f1 = pool.submit(
+                            self.labels.apply_mutations, mutations, batch_id
+                        )
+                        f2 = pool.submit(self._update_verdict_state, out, batch_id)
+                        # surface BOTH failures: if the label and verdict
+                        # merges each raise, losing the second exception
+                        # hides the verdict-side cause from logs
+                        wait([f1, f2])
+                        errs = [
+                            (name, f.exception())
+                            for name, f in (("label-merge", f1), ("verdict-merge", f2))
+                            if f.exception() is not None
+                        ]
+                        if errs:
+                            primary = errs[0][1]
+                            for name, extra in errs[1:]:
+                                primary.add_note(
+                                    f"concurrent {name} also failed: {extra!r}"
+                                )
+                            raise primary
+                else:
+                    # folded variant: merge #1's first action materializes
+                    # the persist itself, eliminating the dedicated
+                    # materialization job (one fewer fixed job per batch
+                    # at the cost of serializing the two small merges) —
+                    # measured against concurrent in BENCH.md
+                    self.labels.apply_mutations(mutations, batch_id=batch_id)
+                    self._update_verdict_state(out, batch_id)
             elif self.plan.labels:
                 # mutation rows explode the structs column of the SAME
                 # evaluated frame (HasLabel-dependent apply_if conditions

@@ -70,6 +70,21 @@ GEN_COL = "__state_gen"
 _GEN_DIR_RE = re.compile(r"^d\d+x?$")
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Release the executor-storage blocks behind an eager
+    ``localCheckpoint`` DataFrame. ``DataFrame.unpersist()`` cannot do
+    this — it only uncaches catalog-cached queries — so we unpersist the
+    materialized RDD held by the checkpoint's ``LogicalRDD`` plan node.
+    Safe only once nothing will read the frame again: a locally
+    checkpointed RDD has no lineage to recompute from."""
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # session teardown race / API drift — worst case GC reclaims
+
+
 def latest_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Default MOR resolution: the newest generation's row wins per key
     (Iceberg equality-delete semantics). One hash aggregation with
@@ -345,6 +360,15 @@ class HashPartitionedStateStore:
             .withColumn(_PART, self._part_of())
             .localCheckpoint(eager=True)
         )
+        # free the superseded checkpoint's executor storage NOW: eager
+        # localCheckpoint means `materialized` no longer references the
+        # old snapshot's blocks, and waiting on GC + ContextCleaner lets
+        # stale snapshots pile up on a long-lived driver. NOTE
+        # DataFrame.unpersist() does NOT release localCheckpoint blocks
+        # (it only uncaches catalog-cached queries) — the persisted RDD
+        # under the checkpoint's LogicalRDD must be unpersisted directly.
+        if c is not None and c["df"] is not materialized:
+            _unpersist_local_checkpoint(c["df"])
         self._cache = {
             "version": v,
             "df": materialized,

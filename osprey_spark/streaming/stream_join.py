@@ -26,14 +26,23 @@ window is declared and the state eviction is provably bounded:
 
 At 10^12-turn scale both sides shuffle-partition on the join key, so a
 hot conversation concentrates one partition's state; feed the alert side
-through the escalation candidates prefilter (or dedupe alerts per conv ×
-window) before the join when alert volume per conversation is unbounded.
+through :func:`dedupe_alerts` (one alert per conv × time-bucket) before
+the join when alert volume per conversation is unbounded.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _ensure_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Apply ``withWatermark(ts_col, delay)`` unless the column already
+    carries event-time watermark metadata (redefining is an error in a
+    multi-stateful-operator stream)."""
+    if "spark.watermarkDelayMs" in (df.schema[ts_col].metadata or {}):
+        return df
+    return df.withWatermark(ts_col, delay)
 
 
 def turns_with_recent_alerts(
@@ -46,6 +55,7 @@ def turns_with_recent_alerts(
     turn_watermark: str = "10 minutes",
     alert_watermark: str = "30 minutes",
     how: str = "leftOuter",
+    alert_prefix: str = "",
 ) -> DataFrame:
     """Each turn joined to alerts on the SAME conversation raised within
     ``[turn_ts - lookback_seconds, turn_ts]`` (inclusive both ends).
@@ -53,17 +63,84 @@ def turns_with_recent_alerts(
     ``turns`` and ``alerts`` must be STREAMING DataFrames; ``alerts``
     needs columns ``(key, alert_ts, ...)``. Output carries every turn
     column plus the alert columns (null for unmatched turns under
-    ``leftOuter``). Both watermarks are applied here — pass raw streams.
+    ``leftOuter``). Each side's watermark is applied here unless that
+    side already carries one (Spark disallows redefining a watermark),
+    so raw streams and pre-watermarked stages like :func:`dedupe_alerts`
+    both compose directly.
+
+    Alert-side output columns keep their names by default, so an alerts
+    column that shadows a turns column (e.g. both sides carrying ``ts``)
+    would make the output ambiguous — that is rejected with a ValueError
+    naming the collisions. Pass ``alert_prefix="alert_"`` to namespace
+    every alert-side output column instead of renaming at the source.
     """
-    t = turns.withWatermark(turn_ts, turn_watermark).alias("t")
-    a = alerts.withWatermark(alert_ts, alert_watermark).alias("a")
+    t = _ensure_watermark(turns, turn_ts, turn_watermark).alias("t")
+    a = _ensure_watermark(alerts, alert_ts, alert_watermark).alias("a")
     cond = (
         (F.col(f"t.{key}") == F.col(f"a.{key}"))
         & (F.col(f"a.{alert_ts}") >= F.col(f"t.{turn_ts}") - F.expr(f"INTERVAL {int(lookback_seconds)} SECONDS"))
         & (F.col(f"a.{alert_ts}") <= F.col(f"t.{turn_ts}"))
     )
-    alert_cols = [
-        F.col(f"a.{c}").alias(c if c != key else f"alert_{key}")
-        for c in alerts.columns
-    ]
-    return t.join(a, cond, how).select("t.*", *alert_cols).drop(f"alert_{key}")
+    out_names = {c: f"{alert_prefix}{c}" for c in alerts.columns if c != key}
+    clash = sorted(set(out_names.values()) & set(turns.columns))
+    if clash:
+        raise ValueError(
+            "alert-side output columns collide with turn columns: "
+            f"{clash} — rename them on the alerts side or pass "
+            "alert_prefix= to namespace the alert columns"
+        )
+    alert_cols = [F.col(f"a.{c}").alias(n) for c, n in out_names.items()]
+    return t.join(a, cond, how).select("t.*", *alert_cols)
+
+
+def dedupe_alerts(
+    alerts: DataFrame,
+    key: str = "conv_id",
+    alert_ts: str = "alert_ts",
+    bucket: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Hot-key prefilter for the alert side of
+    :func:`turns_with_recent_alerts`: keep ONE alert per
+    ``(key, time-bucket)`` so a conversation that fires alerts every
+    turn contributes O(lookback / bucket) rows to the join's buffered
+    state instead of O(alerts) — the stream-stream analog of the
+    escalation candidates prefilter. Downstream semantics are unchanged
+    for "did this conv have a recent alert" predicates, because any
+    surviving alert in the bucket proves the bucket was alerted
+    (reference analogue: per-entity recent-activity reads de-duplicate
+    by entity, worker/lib/storage/labels.py).
+
+    Works on streaming inputs: dedup keys on ``(key, bucket-index)`` via
+    ``dropDuplicatesWithinWatermark``, so per-(conv, bucket) dedup state
+    is EVICTED once the watermark delay passes its first-seen time —
+    bounded state, not a forever-growing distinct set. (The bucket is a
+    plain long, NOT ``F.window(...)``: a window column carries its own
+    event-time metadata and Spark rejects a stream with two event-time
+    columns.) The kept row retains its exact ``alert_ts`` (first row
+    seen wins). Apply BEFORE ``turns_with_recent_alerts``; the join
+    re-applies its own (outer) watermark on ``alert_ts``.
+    """
+    bucket_s = _interval_seconds(bucket)
+    src = alerts.withWatermark(alert_ts, watermark) if alerts.isStreaming else alerts
+    bucketed = src.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(alert_ts)) / F.lit(bucket_s))
+    )
+    if alerts.isStreaming:
+        # streaming: bounded dedup state, evicted `watermark` after a
+        # (conv, bucket) pair was first seen
+        deduped = bucketed.dropDuplicatesWithinWatermark([key, "__bucket"])
+    else:
+        # batch (tests / oracle parity): watermark is a no-op and plain
+        # dropDuplicates has no unbounded-state concern
+        deduped = bucketed.dropDuplicates([key, "__bucket"])
+    return deduped.drop("__bucket")
+
+
+_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _interval_seconds(spec: str) -> int:
+    """'5 minutes' → 300 (the subset of interval syntax dedupe buckets use)."""
+    qty, unit = spec.strip().split()
+    return int(qty) * _UNITS[unit.rstrip("s").lower()]
