@@ -78,6 +78,10 @@ pipe = RuleStreamPipeline(
     salt_buckets=0 if _os0.environ.get("FULL_STACK_SALT", "1") == "0" else cores,
     snapshot_cache=_os0.environ.get("FULL_STACK_SNAPSHOT_CACHE", "0") == "1",
     label_max_delta_files=int(_os0.environ.get("FULL_STACK_LABEL_MAX_DELTA", "8")),
+    # FULL_STACK_MERGES=folded serializes the label+verdict merges so
+    # merge #1's first action materializes the persist (one fewer fixed
+    # job per batch); default is the concurrent overlap
+    concurrent_merges=_os0.environ.get("FULL_STACK_MERGES", "concurrent") != "folded",
 )
 
 def _labels_disk():
@@ -121,7 +125,7 @@ q2 = None
 if _os.environ.get("FULL_STACK_ESC", "1") != "0":
     esc_in = (
         spark.readStream.schema(pipe.schema)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", _os.environ.get("FULL_STACK_ESC_MAX_FILES", "8"))
         .parquet({input_dir!r})
         .withWatermark("ts", "30 minutes")
     )
@@ -145,6 +149,14 @@ if _os.environ.get("FULL_STACK_ESC", "1") != "0":
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # incremental checkpointing: each batch uploads its CHANGELOG
+        # (the delta) instead of a full snapshot — the configuration a
+        # long-lived 10^12-turn stream runs with; also what makes
+        # per-batch changelog growth measurable below
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         esc = streaming_escalation_sessions_tws(
             esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0,
             min_triggers=2, candidates=cand,
@@ -154,18 +166,124 @@ if _os.environ.get("FULL_STACK_ESC", "1") != "0":
             esc_in, trigger=F.col("text").contains("hello"), gap_seconds=1800.0,
             min_triggers=2, candidates=cand,
         )
-    q2 = (
-        esc.writeStream.format("noop")
-        .option("checkpointLocation", wd + "/esc_ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    join_on = _os.environ.get("FULL_STACK_JOIN", "0") == "1"
+    if join_on:
+        # the escalation query's alerts land in parquet so they can feed
+        # the stream-stream join below as a LIVE alert stream
+        q2 = (
+            esc.writeStream.format("parquet")
+            .option("path", wd + "/alerts")
+            .option("checkpointLocation", wd + "/esc_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        q2 = (
+            esc.writeStream.format("noop")
+            .option("checkpointLocation", wd + "/esc_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
 t0 = time.perf_counter()
 q1.awaitTermination()
 if q2 is not None:
     q2.awaitTermination()
 wall_both = time.perf_counter() - t0
+
+# FULL_STACK_JOIN=1: third stage — the native watermarked stream-stream
+# join under load. Turns re-stream from the input; the alert side is the
+# escalation query's OUTPUT (both sides live streams), prefiltered by
+# dedupe_alerts (one alert per conv x 5-min bucket) so a hot
+# conversation's alert volume cannot inflate the join's buffered state.
+join_summary = None
+if q2 is not None and _os.environ.get("FULL_STACK_JOIN", "0") == "1":
+    from osprey_spark.streaming.stream_join import dedupe_alerts, turns_with_recent_alerts
+    ESC_SCHEMA = ("conv_id string, session_start timestamp, escalated_at timestamp, "
+                  "n_turns long, n_triggers long")
+    turns3 = (
+        spark.readStream.schema(pipe.schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet({input_dir!r})
+    )
+    alerts3 = spark.readStream.schema(ESC_SCHEMA).parquet(wd + "/alerts")
+    al = dedupe_alerts(
+        alerts3, key="conv_id", alert_ts="escalated_at",
+        bucket="5 minutes", watermark="30 minutes",
+    )
+    joined = turns_with_recent_alerts(
+        turns3, al, alert_ts="escalated_at", lookback_seconds=1800,
+        turn_watermark="10 minutes", alert_watermark="30 minutes",
+    )
+    tj = time.perf_counter()
+    q3 = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", wd + "/join_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination()
+    join_wall = time.perf_counter() - tj
+    prog = [json.loads(p.json) for p in q3.recentProgress]
+    state_rows = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in prog
+    ]
+    state_mb = [
+        round(sum(op.get("memoryUsedBytes", 0) for op in p.get("stateOperators", [])) / 1e6, 1)
+        for p in prog
+    ]
+    join_summary = {{
+        "join_wall_sec": join_wall,
+        "join_turns_per_sec": n / join_wall,
+        "join_batches": len(prog),
+        "join_output_rows": sum(p.get("sink", {{}}).get("numOutputRows", 0) for p in prog),
+        "state_rows_by_batch": state_rows,
+        "state_mb_by_batch": state_mb,
+    }}
+
+# per-batch state-store metrics for the escalation query (the TWS/RocksDB
+# long-horizon evidence: state rows + sst size per batch from progress,
+# plus the checkpoint's changelog file sizes in version order — each
+# changelog is one batch's delta, so the sequence IS per-batch changelog
+# growth and must stay bounded, not monotone)
+esc_metrics = None
+if q2 is not None and _os.environ.get("FULL_STACK_ESC_METRICS", "0") == "1":
+    eprog = [json.loads(p.json) for p in q2.recentProgress]
+    per_batch = []
+    for p in eprog:
+        ops = p.get("stateOperators", [])
+        cm = ops[0].get("customMetrics", {{}}) if ops else {{}}
+        per_batch.append({{
+            "batch": p.get("batchId"),
+            "state_rows": sum(op.get("numRowsTotal", 0) for op in ops),
+            "rows_updated": sum(op.get("numRowsUpdated", 0) for op in ops),
+            "sst_mb": round(cm.get("rocksdbSstFileSize", 0) / 1e6, 2),
+            "mem_mb": round(sum(op.get("memoryUsedBytes", 0) for op in ops) / 1e6, 2),
+        }})
+    by_version, total_ckpt = {{}}, 0
+    for root, _dirs, files in _os0.walk(wd + "/esc_ckpt"):
+        for fn in files:
+            fp = _os0.path.join(root, fn)
+            try:
+                sz = _os0.path.getsize(fp)
+            except OSError:
+                continue
+            total_ckpt += sz
+            if fn.endswith(".changelog"):
+                # one changelog per state partition per version — sum
+                # partitions so each entry is ONE BATCH's total delta
+                v = int(fn.split(".")[0])
+                by_version[v] = by_version.get(v, 0) + sz
+    esc_metrics = {{
+        "per_batch": per_batch,
+        "changelog_kb_by_version": [
+            round(by_version[v] / 1e3, 1) for v in sorted(by_version)
+        ],
+        "checkpoint_total_mb": round(total_ckpt / 1e6, 1),
+    }}
 
 rows_by_batch = {{m["batch_id"]: m["rows"] for m in pipe.sink.metrics()}}
 total = sum(rows_by_batch.values())
@@ -187,6 +305,8 @@ print(json.dumps({{
     "wall_both_queries_sec": wall_both,
     "batch_walls": [round(w, 2) for _, w in walls],
     "merge_stats": [{{"batch": bid, **st}} for bid, st in merge_stats],
+    "join": join_summary,
+    "esc_state": esc_metrics,
 }}))
 """
 
@@ -255,6 +375,36 @@ def main() -> None:
             "|---|---|---|---|---|---|---|\n"
             + stats_rows + "\n"
         )
+        j = r.get("join")
+        if j:
+            f.write(
+                "\nStream-stream join stage (FULL_STACK_JOIN=1): turns re-streamed "
+                "against the escalation query's alert output (dedupe_alerts "
+                "prefilter, one alert per conv x 5-min bucket; watermarked "
+                "LEFT OUTER time-range join).\n\n"
+                f"- join wall: {j['join_wall_sec']:.1f}s over {j['join_batches']} "
+                f"batches → **{j['join_turns_per_sec']:,.0f} turns/s** through the join\n"
+                f"- joined output rows: {j['join_output_rows']:,}\n"
+                f"- buffered state rows per batch (bounded by watermark + lookback, "
+                f"NOT by stream length): {j['state_rows_by_batch']}\n"
+                f"- state memory MB per batch: {j['state_mb_by_batch']}\n"
+            )
+        es = r.get("esc_state")
+        if es:
+            f.write(
+                "\nEscalation state-store metrics (FULL_STACK_ESC_METRICS=1; "
+                "RocksDB custom metrics populated under FULL_STACK_ESC_IMPL=tws):\n\n"
+                "| batch | state rows | rows updated | sst MB | state mem MB |\n"
+                "|---|---|---|---|---|\n"
+                + "\n".join(
+                    f"| {p['batch']} | {p['state_rows']:,} | {p['rows_updated']:,} "
+                    f"| {p['sst_mb']} | {p['mem_mb']} |"
+                    for p in es["per_batch"]
+                )
+                + "\n\n- changelog KB by version (one per batch — per-batch delta, "
+                f"bounded not monotone): {es['changelog_kb_by_version']}\n"
+                f"- checkpoint dir total: {es['checkpoint_total_mb']} MB\n"
+            )
 
 
 if __name__ == "__main__":

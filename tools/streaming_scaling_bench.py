@@ -1,0 +1,165 @@
+"""Scaling-efficiency evidence on the SUSTAINED STREAMING metric — the
+number the north rule actually names (round-5's 0.925 covered the
+rule-eval compute kernel only).
+
+Runs the everything-on full-stack pipeline (compiled rule plan + HasLabel
+reads + merge-on-read label deltas + cross-turn verdict tracking +
+exactly-once sink, with the escalation-sessions stateful query running
+concurrently) at two parallelism levels on the SAME input with MATCHED
+BATCHING (identical maxFilesPerTrigger over identical files → identical
+micro-batch boundaries at both levels), and reports throughput at both
+plus ``efficiency = T(large) / (ratio * T(small))``.
+
+Protocol is the round-4/5 envelope-gated-pair one (see
+tools/scaling_bench.py): each attempt measures both levels back-to-back,
+brackets them with a pure-CPU sha256 machine-envelope calibration, and a
+pair counts only when the machine itself was comparably fast in both
+windows (envelope ratio in [0.9, 1.1]); the reported efficiency is the
+MEDIAN of accepted pairs. Primary metric: steady-state MEDIAN per-batch
+throughput (the noise-robust number on this host — BENCH.md round-5
+attribution shows the sustained mean polluted by episodic host stalls);
+the sustained mean is reported alongside.
+
+Usage: python tools/streaming_scaling_bench.py [n_small] [n_large] [n_convs]
+Appends to BENCH.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scaling_bench import _GEN, INPUT_BASE, machine_envelope  # noqa: E402
+from streaming_full_stack_bench import RULES_FULL, _WORKER  # noqa: E402
+
+
+def run_level(input_dir: str, cores: int) -> dict:
+    env_per_core = machine_envelope(cores)
+    script = _WORKER.format(repo=REPO, rules=RULES_FULL, input_dir=input_dir)
+    envv = dict(
+        os.environ,
+        SPARK_GRAFT_DRIVER_MEM=f"{min(3 * cores, 100)}g",
+        # matched batching across levels: 16 files/trigger over the same
+        # 64-file input = 4 identical micro-batches at BOTH levels (the
+        # round-5 matched-batching configuration)
+        FULL_STACK_MAX_FILES=os.environ.get("FULL_STACK_MAX_FILES", "16"),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores)],
+        capture_output=True, text=True, timeout=3600, env=envv,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(out.stdout[-3000:], out.stderr[-3000:])
+        raise RuntimeError(f"full-stack worker at {cores} cores produced no result")
+    r = json.loads(lines[-1])
+    r["envelope_per_core"] = env_per_core
+    return r
+
+
+def main() -> None:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 150_000
+    input_dir = os.environ.get("FULL_STACK_INPUT", f"{INPUT_BASE}_{n_convs}")
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", _GEN.format(repo=REPO, input_dir=input_dir), str(n_convs)],
+            capture_output=True, text=True, timeout=1800, check=True,
+        )
+
+    need = int(os.environ.get("SCALING_ACCEPTED_PAIRS", "3"))
+    attempts_max = int(os.environ.get("SCALING_ATTEMPTS_MAX", "6"))
+    ratio = n_large / n_small
+    pairs, accepted = [], []
+    for i in range(attempts_max):
+        small = run_level(input_dir, n_small)
+        large = run_level(input_dir, n_large)
+        eff = (
+            large["steady_median_rows_per_sec"] / small["steady_median_rows_per_sec"]
+        ) / ratio
+        eff_sustained = (
+            large["sustained_rows_per_sec"] / small["sustained_rows_per_sec"]
+        ) / ratio
+        env_eff = large["envelope_per_core"] / small["envelope_per_core"]
+        ok = 0.9 <= env_eff <= 1.1
+        pair = {
+            "small": small, "large": large, "eff": eff,
+            "eff_sustained": eff_sustained, "env_eff": env_eff, "accepted": ok,
+        }
+        pairs.append(pair)
+        if ok:
+            accepted.append(pair)
+        print(json.dumps({
+            "attempt": i, "eff_steady_median": round(eff, 3),
+            "eff_sustained": round(eff_sustained, 3),
+            "machine_envelope_eff": round(env_eff, 3), "accepted": ok,
+            f"local[{n_small}]_steady": round(small["steady_median_rows_per_sec"]),
+            f"local[{n_large}]_steady": round(large["steady_median_rows_per_sec"]),
+        }), flush=True)
+        if len(accepted) >= need:
+            break
+    pool = accepted if accepted else pairs
+    ranked = sorted(pool, key=lambda p: p["eff"])
+    best = ranked[(len(ranked) - 1) // 2]
+    small, large, efficiency = best["small"], best["large"], best["eff"]
+    summary = {
+        "metric": "everything-on full-stack streaming, steady-state median per-batch turns/s",
+        "input_rows": small["rows"],
+        "batches": small["batches"],
+        f"local[{n_small}]_steady_median": round(small["steady_median_rows_per_sec"], 1),
+        f"local[{n_large}]_steady_median": round(large["steady_median_rows_per_sec"], 1),
+        f"local[{n_small}]_sustained": round(small["sustained_rows_per_sec"], 1),
+        f"local[{n_large}]_sustained": round(large["sustained_rows_per_sec"], 1),
+        "parallelism_ratio": ratio,
+        "scaling_efficiency_steady_median": round(efficiency, 3),
+        "scaling_efficiency_sustained": round(best["eff_sustained"], 3),
+        "machine_envelope_eff": round(best["env_eff"], 3),
+        "normalized_eff": round(efficiency / best["env_eff"], 3),
+        "meets_0.8_target": efficiency >= 0.8,
+        "protocol": "median of envelope-gated pairs (accept iff 0.9 <= envelope <= 1.1), matched batching",
+        "accepted_pairs": len(accepted),
+        "accepted_effs": [round(p["eff"], 3) for p in accepted],
+        "all_attempt_effs": [round(p["eff"], 3) for p in pairs],
+        "all_envelope_effs": [round(p["env_eff"], 3) for p in pairs],
+    }
+    print(json.dumps(summary, indent=2))
+
+    med = statistics.median
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:  # append-only
+        f.write(
+            "\n## Full-stack streaming scaling run (tools/streaming_scaling_bench.py)\n\n"
+            f"Everything-on pipeline (rule plan + HasLabel reads + label merges + "
+            f"verdict tracking + exactly-once sink + concurrent escalation query), "
+            f"{small['rows']:,} turns in {small['batches']} matched micro-batches at both levels.\n\n"
+            f"| level | steady-median turns/s | sustained turns/s | median batch wall s |\n"
+            "|---|---|---|---|\n"
+            f"| local[{n_small}] | {small['steady_median_rows_per_sec']:,.0f} | "
+            f"{small['sustained_rows_per_sec']:,.0f} | "
+            f"{med(small['batch_walls'][1:]):.1f} |\n"
+            f"| local[{n_large}] | {large['steady_median_rows_per_sec']:,.0f} | "
+            f"{large['sustained_rows_per_sec']:,.0f} | "
+            f"{med(large['batch_walls'][1:]):.1f} |\n\n"
+            f"- scaling efficiency (steady median) = T({n_large}) / ({ratio:.0f} x "
+            f"T({n_small})) = **{efficiency:.3f}** "
+            f"({'MET' if efficiency >= 0.8 else 'NOT MET'} vs 0.8); on the sustained "
+            f"mean: {best['eff_sustained']:.3f}\n"
+            f"- MEDIAN of {len(accepted)} envelope-gated pairs; accepted effs "
+            f"{[round(p['eff'], 3) for p in accepted]}; all attempts (eff, envelope): "
+            f"{[(round(p['eff'], 3), round(p['env_eff'], 3)) for p in pairs]}\n"
+            f"- machine envelope over the kept pair's windows: {best['env_eff']:.3f} → "
+            f"envelope-normalized {efficiency / best['env_eff']:.3f}\n"
+            "- this is the north rule's criterion measured on the SUSTAINED STREAMING "
+            "metric (round-5's 0.925 was rule-eval compute only): same input, same "
+            "micro-batch boundaries, fresh JVM per level, heap scaled 3 GB/core "
+            "(per-executor-memory shape — see tools/scaling_bench.py rationale).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
