@@ -553,6 +553,42 @@ LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') 
 """
 
 
+def _dedupe_alerts_buckets(spark, sf_dir):
+    """HOT-KEY PREFILTER contract of ``dedupe_alerts``
+    (streaming/stream_join.py): the survivor set is EXACTLY one row per
+    (conv, 5-minute bucket) — no bucket vanishes, no bucket keeps two —
+    and the kept row retains a real ``alert_ts`` from inside its bucket.
+    Which row inside a bucket survives is deliberately unspecified (batch
+    dropDuplicates / streaming first-seen), so the gated projection is
+    the deterministic part: the (conv, bucket) key set, where each
+    bucket is recomputed from the SURVIVOR's retained ``alert_ts`` — a
+    kept timestamp from outside its bucket would shift the floor and
+    break set equality. Streaming state eviction is pinned by
+    test_dedupe_alerts_* in tests/test_round6_fixes.py."""
+    from osprey_spark.streaming.stream_join import dedupe_alerts
+
+    alerts = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("ts").alias("alert_ts"),
+        )
+    )
+    out = dedupe_alerts(alerts, bucket="5 minutes")
+    return out.select(
+        "conv_id",
+        F.floor(F.unix_timestamp("alert_ts") / F.lit(300)).alias("alert_bucket"),
+    )
+
+
+_DEDUPE_ALERTS_BUCKETS_ORACLE = """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(floor(epoch(ts) / 300) AS BIGINT) AS alert_bucket
+FROM events WHERE event_type = 'error'
+"""
+
+
 def _distinct_users(spark, sf_dir):
     return (
         _events(spark, sf_dir)
@@ -1343,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haslabel_multi_reason": _haslabel_multi_reason,
         "haslabel_error_on_empty": _haslabel_error_on_empty,
         "stream_join_recent_alerts": _stream_join_recent_alerts,
+        "dedupe_alerts_buckets": _dedupe_alerts_buckets,
         "distinct_users_by_type": _distinct_users,
         "approx_distinct_users": _approx_distinct,
         "scan_page": _scan_page,
@@ -1386,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "haslabel_multi_reason": _HASLABEL_MULTI_REASON_ORACLE,
         "haslabel_error_on_empty": _HASLABEL_ERROR_ON_EMPTY_ORACLE,
         "stream_join_recent_alerts": _STREAM_JOIN_RECENT_ALERTS_ORACLE,
+        "dedupe_alerts_buckets": _DEDUPE_ALERTS_BUCKETS_ORACLE,
         "distinct_users_by_type": _DISTINCT_USERS_ORACLE,
         "approx_distinct_users": _APPROX_DISTINCT_ORACLE,
         "scan_page": _SCAN_ORACLE,
