@@ -43,7 +43,18 @@ def run_level(input_dir: str, cores: int) -> dict:
     script = _WORKER.format(repo=REPO, rules=RULES_FULL, input_dir=input_dir)
     envv = dict(
         os.environ,
-        SPARK_GRAFT_DRIVER_MEM=f"{min(3 * cores, 100)}g",
+        # Heap is held CONSTANT across levels, NOT scaled 3 GB/core like
+        # tools/scaling_bench.py: bisected round 6, a 96 GB single-JVM
+        # heap collapses the full-stack streaming pipeline at local[32]
+        # from ~108k to ~14k turns/s steady (batch walls 13-23s -> 110-
+        # 160s; same code, same input, only SPARK_GRAFT_DRIVER_MEM
+        # changed — see BENCH.md round-6 heap bisect). The streaming
+        # pipeline runs many short foreachBatch jobs whose allocation
+        # churn a huge-heap GC serializes; a real cluster gives each
+        # executor its own modest heap, so constant-heap-per-JVM is the
+        # representative shape and leaves parallelism as the ONLY
+        # variable in the pair.
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # matched batching across levels: 16 files/trigger over the same
         # 64-file input = 4 identical micro-batches at BOTH levels (the
         # round-5 matched-batching configuration)
