@@ -58,6 +58,14 @@ def main() -> None:
     per_batch_sorted = sorted(per_batch)
     eff = statistics.median(per_batch)
     env_eff = large["envelope_per_core"] / small["envelope_per_core"]
+    # Total-wall efficiency: wall until BOTH concurrent queries (pipeline
+    # + escalation) finish the whole input. Per-batch pairs can compare
+    # different contention states — the escalation query finishes at a
+    # different point in each level's run, so a batch index that was
+    # contended at one level may be post-escalation clean at the other.
+    # The total wall integrates that interference and is the number a
+    # capacity planner uses: rows in / seconds until the job is done.
+    eff_total = small["wall_both_queries_sec"] / (ratio * large["wall_both_queries_sec"])
     print(json.dumps({
         "metric": "everything-on full-stack streaming, per-batch paired efficiency",
         "input_rows": small["rows"],
@@ -69,8 +77,11 @@ def main() -> None:
         f"local[{n_large}]_steady_median": round(large["steady_median_rows_per_sec"], 1),
         f"local[{n_small}]_sustained": round(small["sustained_rows_per_sec"], 1),
         f"local[{n_large}]_sustained": round(large["sustained_rows_per_sec"], 1),
+        f"local[{n_small}]_wall_both_queries": round(small["wall_both_queries_sec"], 1),
+        f"local[{n_large}]_wall_both_queries": round(large["wall_both_queries_sec"], 1),
         "per_batch_eff_sorted": [round(e, 3) for e in per_batch_sorted],
         "scaling_efficiency_paired_median": round(eff, 3),
+        "scaling_efficiency_total_wall": round(eff_total, 3),
         "machine_envelope_eff": round(env_eff, 3),
         "normalized_eff": round(eff / env_eff, 3),
         "meets_0.8_target": eff >= 0.8,
