@@ -84,10 +84,20 @@ def language_id(text: Column) -> Column:
 
 def normalize_for_fingerprint(text: Column) -> Column:
     """lowercase, strip punctuation, collapse whitespace — the canonical
-    form for exact-dup hashing."""
+    form for exact-dup hashing.
+
+    Single fused regexp pass (r7): the historical two-pass form
+    (``[^a-z0-9\\s]`` -> ' ' then ``\\s+`` -> ' ') maps every maximal run
+    of non-alphanumeric characters — punctuation and whitespace alike —
+    to one space; ``[^a-z0-9]+`` -> ' ' produces the identical string for
+    every input in one pass (the first pass turns non-space junk into
+    spaces that the second pass merges with any adjacent whitespace, so
+    only run boundaries between [a-z0-9] and everything else survive).
+    Java-regex replace was the measured top cost of every dedup pipeline
+    (~1.4s of dedup_exact's 2.0s at sf1.0); halving its passes is the
+    cheapest win available."""
     t = F.lower(text)
-    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
-    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.regexp_replace(t, r"[^a-z0-9]+", " ")
     return F.btrim(t)
 
 
