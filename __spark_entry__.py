@@ -1215,8 +1215,13 @@ FROM v
 # --------------------------------------------------------------------------
 
 def _query_vec(spark, sf_dir):
+    # point lookup for one driver-side scalar: no _spread — repartitioning
+    # the whole table to fetch one row is a wasted shuffle (r7)
     row = (
-        _embeddings(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
     )
     return [float(x) for x in row[0]]
 
@@ -1224,9 +1229,10 @@ def _query_vec(spark, sf_dir):
 def _cosine_topk(spark, sf_dir):
     from osprey_spark.operators.similarity import cosine_topk, dot, l2_norm
 
-    df = _embeddings(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
-    )
+    # no transform() cast (r7): the Arrow cosine kernel promotes float32
+    # embeddings to float64 before the norm, bit-identical to a pre-cast
+    # array<double> column, without the interpreted per-element HOF
+    df = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     q = _query_vec(spark, sf_dir)
     out = cosine_topk(df, q, k=20)
     return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
@@ -1244,9 +1250,9 @@ LIMIT 20
 def _knn(spark, sf_dir):
     from osprey_spark.operators.similarity import knn_join
 
-    emb = _embeddings(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"), "label"
-    )
+    # raw float32 embeddings: pairwise_cosine_udf astypes to float64
+    # inside the Arrow batch, identical to a pre-cast column (r7)
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding", "label")
     queries = emb.filter(F.col("vec_id") < 10)
     out = knn_join(emb, queries, k=3)
     return out.select("query_id", "neighbor_id", "rank")

@@ -114,7 +114,19 @@ def match_sequence(
         ev_fields.insert(1, F.unix_timestamp(F.col(ts_col)).alias("t"))
     ev = F.struct(*ev_fields)
 
-    grouped = df.groupBy(*keys).agg(F.sort_array(F.collect_list(ev)).alias("evs"))
+    # Collect only PATTERN-RELEVANT events (r7): a row whose step flags
+    # are all false can never change the fold state — without
+    # within_seconds it never advances; with it, expiry is recomputed
+    # from (e.t - t0) at every event, so dropping an intermediate
+    # non-matching event leaves the next relevant event's expiry check
+    # (and therefore the state trajectory) identical. collect_list skips
+    # nulls, so the when() guard shrinks both the shuffled partial
+    # aggregates and the per-key interpreted fold to the matching subset
+    # while every key keeps its output row.
+    relevant = F.array_contains(flags, F.lit(True))
+    grouped = df.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.when(relevant, ev))).alias("evs")
+    )
 
     if within_seconds is None:
         state = F.aggregate(

@@ -42,7 +42,10 @@ def _query_cosine_udf(query: Sequence[float]):
 
     @F.pandas_udf(T.DoubleType())
     def cos(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())
+        # astype first: float32 inputs must be promoted BEFORE the norm
+        # so results are bit-identical to a pre-cast array<double> column
+        # (callers no longer pay an interpreted transform() cast, r7)
+        m = np.stack(emb.to_numpy()).astype("float64")
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         return pd.Series((m @ q) / (norms * qn))

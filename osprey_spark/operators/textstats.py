@@ -31,7 +31,18 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    """Count of whitespace tokens.
+
+    ``size(split(btrim(text), '\\s+'))`` with an explicit empty-string
+    case (r7): equivalent to ``size(tokens(text))`` — after btrim, a
+    ``\\s+`` split can only yield an empty token for the empty string —
+    but free of the higher-order ``filter``, which Spark never
+    whole-stage-codegens (one HOF demotes the whole projection to
+    interpreted mode)."""
+    trimmed = F.btrim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, WORD_SPLIT))
+    )
 
 
 def bpe_ish_token_count(text: Column) -> Column:

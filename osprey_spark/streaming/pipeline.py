@@ -288,7 +288,7 @@ class RuleStreamPipeline:
                     # JVM-side in ONE stage — no count() final-agg
                     # exchange, no rows to the driver.
                     out.write.format("noop").mode("overwrite").save()
-                    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
+                    from concurrent.futures import ThreadPoolExecutor, wait
 
                     with ThreadPoolExecutor(max_workers=2) as pool:
                         f1 = pool.submit(

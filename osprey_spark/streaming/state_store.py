@@ -239,7 +239,15 @@ class HashPartitionedStateStore:
         incrementally-maintained resolved snapshot — no resolution
         aggregate in the read plan at all. Replay reads of an OLDER
         version bypass the cache (correctness first: the scan path is
-        always available)."""
+        always available).
+
+        LIFETIME (ADVICE r6): with ``snapshot_cache=True`` the returned
+        frame is backed by an eager ``localCheckpoint`` whose blocks are
+        RELEASED when a later ``merge`` + ``read`` advances the cache —
+        execute (or ``persist`` + materialize) the frame before the next
+        merge if you must hold it across generations; a lazy reference
+        executed after the advance fails with a checkpoint-block-not-found
+        SparkException rather than silently recomputing."""
         ptr = self.pointer()
         v = int(ptr["version"])
         if before_batch is not None and ptr["batch_id"] == before_batch:

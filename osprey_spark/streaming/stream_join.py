@@ -105,11 +105,24 @@ def dedupe_alerts(
     ``(key, time-bucket)`` so a conversation that fires alerts every
     turn contributes O(lookback / bucket) rows to the join's buffered
     state instead of O(alerts) — the stream-stream analog of the
-    escalation candidates prefilter. Downstream semantics are unchanged
-    for "did this conv have a recent alert" predicates, because any
-    surviving alert in the bucket proves the bucket was alerted
-    (reference analogue: per-entity recent-activity reads de-duplicate
-    by entity, worker/lib/storage/labels.py).
+    escalation candidates prefilter (reference analogue: per-entity
+    recent-activity reads de-duplicate by entity,
+    worker/lib/storage/labels.py).
+
+    PRECISION CONTRACT (ADVICE r6): downstream "did this conv have a
+    recent alert" predicates evaluate the time-range against the
+    SURVIVOR's exact ``alert_ts``, and the survivor is the first-seen
+    row of its bucket — which is not necessarily the earliest or latest
+    by event time. At the edges of a join lookback window this opens a
+    bounded false-negative band: a turn whose only in-window alert was
+    dropped can miss its match when the bucket's survivor falls outside
+    ``[turn_ts - lookback, turn_ts]`` — by construction the survivor is
+    within one bucket width of the dropped alert, so the band is at most
+    ``bucket`` wide at each window edge. Callers that need the window
+    edge exact should either extend the join's lower bound by one bucket
+    (``lookback_seconds + bucket_s``) or floor ``turn_ts`` to the bucket
+    grid; callers tolerant of +/- one bucket at the boundary (the normal
+    hot-key-defense deployment) use it as-is.
 
     Works on streaming inputs: dedup keys on ``(key, bucket-index)`` via
     ``dropDuplicatesWithinWatermark``, so per-(conv, bucket) dedup state
@@ -118,8 +131,11 @@ def dedupe_alerts(
     plain long, NOT ``F.window(...)``: a window column carries its own
     event-time metadata and Spark rejects a stream with two event-time
     columns.) The kept row retains its exact ``alert_ts`` (first row
-    seen wins). Apply BEFORE ``turns_with_recent_alerts``; the join
-    re-applies its own (outer) watermark on ``alert_ts``.
+    seen wins). Apply BEFORE ``turns_with_recent_alerts``; because this
+    stage already stamps ``alert_ts`` with THIS watermark, the join's
+    ``_ensure_watermark`` will NOT re-apply its ``alert_watermark``
+    argument — the dedupe watermark wins (ADVICE r6), so pick ``watermark``
+    here with the join's lateness tolerance in mind.
     """
     bucket_s = _interval_seconds(bucket)
     src = alerts.withWatermark(alert_ts, watermark) if alerts.isStreaming else alerts
@@ -141,6 +157,16 @@ _UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
 def _interval_seconds(spec: str) -> int:
-    """'5 minutes' → 300 (the subset of interval syntax dedupe buckets use)."""
-    qty, unit = spec.strip().split()
-    return int(qty) * _UNITS[unit.rstrip("s").lower()]
+    """'5 minutes' → 300 (the subset of interval syntax dedupe buckets
+    use). Rejects compound or malformed specs with a clear error
+    (ADVICE r6) instead of an unhelpful KeyError/ValueError."""
+    parts = spec.strip().split()
+    if len(parts) == 2:
+        qty, unit = parts
+        u = _UNITS.get(unit.rstrip("s").lower())
+        if u is not None and (qty.isdigit() or (qty[:1] == "-" and qty[1:].isdigit())):
+            return int(qty) * u
+    raise ValueError(
+        f"unsupported bucket spec {spec!r}: expected '<N> "
+        "seconds|minutes|hours|days' (a single quantity-unit pair)"
+    )
