@@ -51,8 +51,17 @@ def _stride_sample(df: DataFrame, id_col: str) -> DataFrame:
     return df.filter(F.col(id_col) % stride == 0)
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+def _events(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """``spread=False`` (r7) skips the parallelizing repartition for
+    queries whose FIRST operator is itself a wide exchange with no
+    map-side compute (window queries: sort+window keyed on user_id).
+    There the _spread exchange just moves every row twice — the key
+    exchange re-distributes immediately and nothing heavy runs before
+    it. Aggregation/projection queries keep the spread: their map-side
+    work (partial aggs, regexps, UDFs) would otherwise run serially on
+    the single-row-group scan."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(df) if spread else df
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,8 +718,9 @@ FROM slid GROUP BY 1, 2
 def _trailing(spark, sf_dir):
     from osprey_spark.operators.velocity import attach_trailing_count
 
+    # spread=False: the window exchange on user_id is the first operator
     return attach_trailing_count(
-        _events(spark, sf_dir), "user_id", 3600, "ts", "trailing_count"
+        _events(spark, sf_dir, spread=False), "user_id", 3600, "ts", "trailing_count"
     ).select("event_id", "user_id", "trailing_count")
 
 
@@ -726,7 +736,8 @@ FROM events
 def _sessions(spark, sf_dir):
     from osprey_spark.operators.sessions import sessionize
 
-    s = sessionize(_events(spark, sf_dir), key="user_id", gap_seconds=1800, ts_col="ts")
+    # spread=False: the window exchange on user_id is the first operator
+    s = sessionize(_events(spark, sf_dir, spread=False), key="user_id", gap_seconds=1800, ts_col="ts")
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
