@@ -87,6 +87,93 @@ def minhash_signatures(
     return base.join(sigs, on=id_col)
 
 
+_MINHASH_SIG_UDFS: dict = {}
+
+
+def _minhash_sig_udf(num_hashes: int, shingle_k: int):
+    """Arrow-batched normalized-text -> MinHash signature (array<long>).
+
+    r7 signature fast path: the historical pipeline returned 2.6M shingle
+    STRINGS per 50k docs to the JVM, exploded them, hashed each K times
+    and ran a K-column min aggregation through an exchange. All of that
+    exists only to produce K longs per document — so produce them inside
+    the same Python pass that builds the shingles: one blake2b per
+    distinct shingle (per-batch memoized — shingles repeat heavily across
+    near-duplicate docs), then K seeded splitmix64 mixes + segmented
+    ``np.minimum.reduceat`` per batch. Any well-mixed hash family gives
+    the same MinHash collision statistics; the verified output is still
+    exact shingle-Jaccard, so the family change cannot alter results
+    beyond the (re-verified) banding recall contract.
+
+    Marked nondeterministic for the same plan-pin reason as
+    textstats._shingle_udf: the banding explode above it lets Catalyst
+    infer and push filters that would duplicate the UDF below the
+    exchange."""
+    key = (num_hashes, shingle_k)
+    if key in _MINHASH_SIG_UDFS:
+        return _MINHASH_SIG_UDFS[key]
+    from hashlib import blake2b
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    k = shingle_k
+    # independent seed constants from the splitmix64 stream
+    def _splitmix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    seeds_list, s = [], 0x06C45F1A7D3E9B20
+    for _ in range(num_hashes):
+        s = _splitmix(s)
+        seeds_list.append(s)
+    SEEDS = np.array(seeds_list, dtype=np.uint64)
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(norm: pd.Series) -> pd.Series:
+        n = len(norm)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        cache: dict = {}
+        per_doc = []
+        for t in norm:
+            w = t.split(" ") if t else [""]
+            if len(w) >= k:
+                gs = dict.fromkeys(" ".join(w[i : i + k]) for i in range(len(w) - k + 1))
+            else:
+                gs = {" ".join(w): None}
+            hs = np.empty(len(gs), dtype=np.uint64)
+            for j, g in enumerate(gs):
+                h = cache.get(g)
+                if h is None:
+                    h = int.from_bytes(blake2b(g.encode("utf-8"), digest_size=8).digest(), "big")
+                    cache[g] = h
+                hs[j] = h
+            per_doc.append(hs)
+        lens = np.fromiter((len(a) for a in per_doc), dtype=np.int64, count=n)
+        flat = np.concatenate(per_doc)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.empty((n, num_hashes), dtype=np.uint64)
+        for i in range(num_hashes):
+            x = flat ^ SEEDS[i]
+            x = (x ^ (x >> np.uint64(30))) * M1  # uint64 wraps (C semantics)
+            x = (x ^ (x >> np.uint64(27))) * M2
+            x ^= x >> np.uint64(31)
+            out[:, i] = np.minimum.reduceat(x, starts)  # lens >= 1 always
+        signed = out.view(np.int64)
+        return pd.Series([signed[i] for i in range(n)])
+
+    sig = sig.asNondeterministic()
+    _MINHASH_SIG_UDFS[key] = sig
+    return sig
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -118,20 +205,18 @@ def minhash_lsh_pairs(
     # dropDuplicates shuffle, so the full-corpus UDF runs exactly once —
     # pinned by tests/test_round3_fixes.py::test_minhash_verify_is_candidate_sized.
     sh_col = shingles(F.col(text_col), shingle_k)
-    base = df.select(F.col(id_col), sh_col.alias("_sh"))
-    # K permutations from ONE string hash (r7): hashing the raw shingle
-    # string K times re-runs xxhash64 over ~20 bytes x K per shingle;
-    # hashing it once to a long and seeding the K permutation hashes from
-    # that 8-byte value is the standard one-hash MinHash construction
-    # (distinct shingles keep distinct base hashes up to 2^-64 collisions,
-    # and xxhash64(long, seed_i) is an equally valid random permutation
-    # family). Cuts the signature stage's hash work ~K-fold in bytes.
-    exploded = base.select(id_col, F.explode("_sh").alias("_gs")).select(
-        id_col, F.xxhash64(F.col("_gs")).alias("_g")
-    )
-    aggs = [F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
-    sigs = exploded.groupBy(id_col).agg(*aggs).select(
-        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_mh")
+    # Signatures in ONE Arrow pass (r7, see _minhash_sig_udf): no shingle
+    # strings cross back to the JVM for the corpus, no explode, no
+    # K-column min aggregation, no signature exchange — the only wide ops
+    # left in candidate generation are the (band, band-hash) shuffle and
+    # the pair dedup.
+    from osprey_spark.operators.textstats import normalize_for_fingerprint
+
+    sigs = df.select(
+        F.col(id_col),
+        _minhash_sig_udf(num_hashes, shingle_k)(
+            normalize_for_fingerprint(F.col(text_col))
+        ).alias("_mh"),
     )
 
     banded = sigs.select(
