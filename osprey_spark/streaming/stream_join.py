@@ -73,6 +73,21 @@ def turns_with_recent_alerts(
     would make the output ambiguous — that is rejected with a ValueError
     naming the collisions. Pass ``alert_prefix="alert_"`` to namespace
     every alert-side output column instead of renaming at the source.
+
+    COLD-START BOOTSTRAP (VERDICT r6 item 3): state eviction needs a
+    watermark, and no watermark has passed before batch 0 completes —
+    so batch 0 buffers its ENTIRE micro-batch in join state. On a live
+    stream that is one trigger's worth of rows (fine); on a
+    bootstrap-from-backlog deployment with a large first trigger it is
+    the whole backlog (measured: 490 MB at 1.5M rows; 100x backlog ≈
+    50 GB). Recipe: ramp the source trigger — start with a small
+    ``maxFilesPerTrigger`` (or equivalent) so batch 0 is one file's
+    worth of rows; once the first batch commits, the watermark advances
+    and buffered state drops to O(rows within the lookback window)
+    regardless of trigger size. Measured in BENCH.md round-7: batch-0
+    buffered rows fall ~8x when the join stage's first trigger is one
+    file instead of eight, with steady-state state and throughput
+    unchanged.
     """
     t = _ensure_watermark(turns, turn_ts, turn_watermark).alias("t")
     a = _ensure_watermark(alerts, alert_ts, alert_watermark).alias("a")

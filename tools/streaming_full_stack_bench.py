@@ -202,31 +202,60 @@ if q2 is not None and _os.environ.get("FULL_STACK_JOIN", "0") == "1":
     from osprey_spark.streaming.stream_join import dedupe_alerts, turns_with_recent_alerts
     ESC_SCHEMA = ("conv_id string, session_start timestamp, escalated_at timestamp, "
                   "n_turns long, n_triggers long")
-    turns3 = (
-        spark.readStream.schema(pipe.schema)
-        .option("maxFilesPerTrigger", max_files)
-        .parquet({input_dir!r})
-    )
-    alerts3 = spark.readStream.schema(ESC_SCHEMA).parquet(wd + "/alerts")
-    al = dedupe_alerts(
-        alerts3, key="conv_id", alert_ts="escalated_at",
-        bucket="5 minutes", watermark="30 minutes",
-    )
-    joined = turns_with_recent_alerts(
-        turns3, al, alert_ts="escalated_at", lookback_seconds=1800,
-        turn_watermark="10 minutes", alert_watermark="30 minutes",
-    )
+    # FULL_STACK_JOIN_MAX_FILES: the join stage's own trigger size.
+    # The stream-stream join buffers every turn of a micro-batch until a
+    # watermark has passed (batch 0 has none), so bootstrap-from-backlog
+    # deployments should ramp with a SMALL first trigger: a low value
+    # here bounds batch-0 buffered state by the trigger size instead of
+    # the backlog size (VERDICT r6 item 3; recipe documented on
+    # turns_with_recent_alerts).
+    # FULL_STACK_JOIN_RAMP=1 is the PRACTICAL two-phase form of that
+    # recipe: phase A runs ONE small batch (maxFilesPerTrigger=1) so the
+    # watermark advances off a trigger-sized buffer, then the query is
+    # stopped and restarted FROM THE SAME CHECKPOINT with the normal
+    # trigger — every post-bootstrap batch buffers O(lookback) rows and
+    # the bulk runs at full-trigger throughput.
+    join_max_files = _os.environ.get("FULL_STACK_JOIN_MAX_FILES", max_files)
+    join_ramp = _os.environ.get("FULL_STACK_JOIN_RAMP", "0") == "1"
+
+    def _join_query(files_per_trigger, available_now=True):
+        turns3 = (
+            spark.readStream.schema(pipe.schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet({input_dir!r})
+        )
+        alerts3 = spark.readStream.schema(ESC_SCHEMA).parquet(wd + "/alerts")
+        al = dedupe_alerts(
+            alerts3, key="conv_id", alert_ts="escalated_at",
+            bucket="5 minutes", watermark="30 minutes",
+        )
+        joined = turns_with_recent_alerts(
+            turns3, al, alert_ts="escalated_at", lookback_seconds=1800,
+            turn_watermark="10 minutes", alert_watermark="30 minutes",
+        )
+        w = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", wd + "/join_ckpt")
+            .outputMode("append")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
     tj = time.perf_counter()
-    q3 = (
-        joined.writeStream.format("noop")
-        .option("checkpointLocation", wd + "/join_ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    prog = []
+    if join_ramp:
+        # phase A: one-file bootstrap batch, stop after the first commit
+        qa = _join_query(1, available_now=False)
+        while not qa.recentProgress:
+            time.sleep(0.2)
+        qa.stop()
+        qa.awaitTermination()
+        prog.extend(json.loads(p.json) for p in qa.recentProgress)
+    q3 = _join_query(join_max_files)
     q3.awaitTermination()
     join_wall = time.perf_counter() - tj
-    prog = [json.loads(p.json) for p in q3.recentProgress]
+    prog.extend(json.loads(p.json) for p in q3.recentProgress)
     state_rows = [
         sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
         for p in prog
@@ -358,6 +387,7 @@ def main() -> None:
         if esc_on
         else " (escalation query OFF for this run)"
     )
+    esc_part += f" [FULL_STACK_MERGES={os.environ.get('FULL_STACK_MERGES', 'concurrent')}]"
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:  # append-only
         f.write(
             "\n## Full-stack streaming run (tools/streaming_full_stack_bench.py)\n\n"
@@ -377,11 +407,21 @@ def main() -> None:
         )
         j = r.get("join")
         if j:
+            ramp = os.environ.get("FULL_STACK_JOIN_RAMP", "0") == "1"
+            jmf = os.environ.get(
+                "FULL_STACK_JOIN_MAX_FILES", os.environ.get("FULL_STACK_MAX_FILES", "8")
+            )
+            mode = (
+                "two-phase bootstrap ramp: one 1-file batch, stop, restart from "
+                f"checkpoint at maxFilesPerTrigger={jmf}"
+                if ramp
+                else f"constant trigger maxFilesPerTrigger={jmf}"
+            )
             f.write(
                 "\nStream-stream join stage (FULL_STACK_JOIN=1): turns re-streamed "
                 "against the escalation query's alert output (dedupe_alerts "
                 "prefilter, one alert per conv x 5-min bucket; watermarked "
-                "LEFT OUTER time-range join).\n\n"
+                f"LEFT OUTER time-range join). Trigger mode: {mode}.\n\n"
                 f"- join wall: {j['join_wall_sec']:.1f}s over {j['join_batches']} "
                 f"batches → **{j['join_turns_per_sec']:,.0f} turns/s** through the join\n"
                 f"- joined output rows: {j['join_output_rows']:,}\n"
