@@ -200,3 +200,125 @@ def test_query_filter_fuzz_matches_duckdb(spark, tmp_path):
                 mismatches.append((i, rid, sml, sql, srow[f"p{i}"], duck_rows[rid][f"p{i}"]))
                 break
     assert not mismatches, f"seed={SEED}: {mismatches[:5]}"
+
+
+# -- Did* query-UDF leaves over a results-shaped table (ADVICE r6 item 7) ----
+#
+# The sweep above covers the scalar translator surface; these cases
+# exercise the array-predicate paths of the query UDFs
+# (query_language/udfs/did_mutate_label.py:22-68 analogues):
+# DidDeclareVerdict over __verdicts, DidAddLabel/DidRemoveLabel over
+# __entity_label_mutations — with and without entity_type (the
+# entity_type-less form is a suffix match that must not cross a '/'
+# boundary: label "a" must not match mutation "User/ba/...").
+
+VERDICTS = ["review", "flag_turn", "escalate"]
+ETYPES = ["User", "Conv"]
+LABELS = ["flagged", "errored", "a", "ba"]
+STATUSES = ["ADDED", "REMOVED"]
+
+
+class DidGen:
+    def __init__(self, rnd: random.Random):
+        self.rnd = rnd
+
+    def leaf(self):
+        r = self.rnd
+        kind = r.choice(["verdict", "label", "label", "bare_bool"])
+        if kind == "verdict":
+            v = r.choice(VERDICTS + ["nope"])
+            return (
+                f'DidDeclareVerdict(verdict="{v}")',
+                f"list_contains(__verdicts, {_sql_lit(v)})",
+            )
+        if kind == "label":
+            fn = r.choice(["DidAddLabel", "DidRemoveLabel"])
+            status = "ADDED" if fn == "DidAddLabel" else "REMOVED"
+            label = r.choice(LABELS + ["missing"])
+            if r.random() < 0.5:
+                etype = r.choice(ETYPES)
+                needle = f"{etype}/{label}/LabelStatus.{status}"
+                return (
+                    f'{fn}(label="{label}", entity_type="{etype}")',
+                    f"list_contains(__entity_label_mutations, {_sql_lit(needle)})",
+                )
+            suffix = f"/{label}/LabelStatus.{status}"
+            return (
+                f'{fn}(label="{label}")',
+                "(len(list_filter(__entity_label_mutations, "
+                f"m -> ends_with(m, {_sql_lit(suffix)}))) > 0)",
+            )
+        return "BoolA", "BoolA"
+
+    def expr(self, depth=0):
+        r = self.rnd
+        if depth >= 2 or r.random() < 0.45:
+            return self.leaf()
+        kind = r.choice(["and", "or", "not"])
+        if kind == "not":
+            s, q = self.expr(depth + 1)
+            return f"not ({s})", f"(NOT {q})"
+        parts = [self.expr(depth + 1) for _ in range(r.randint(2, 3))]
+        smls = f" {kind} ".join(f"({s})" for s, _ in parts)
+        sqls = f" {kind.upper()} ".join(q for _, q in parts)
+        return smls, f"({sqls})"
+
+
+def _make_result_rows(rnd: random.Random, n=240):
+    rows = []
+    for i in range(n):
+        if rnd.random() < 0.15:
+            verdicts = None
+        else:
+            verdicts = rnd.sample(VERDICTS, rnd.randint(0, len(VERDICTS)))
+        if rnd.random() < 0.15:
+            muts = None
+        else:
+            muts = [
+                f"{rnd.choice(ETYPES)}/{rnd.choice(LABELS)}/LabelStatus.{rnd.choice(STATUSES)}"
+                for _ in range(rnd.randint(0, 3))
+            ]
+        rows.append((i, verdicts, muts, rnd.choice([True, False, None])))
+    return rows
+
+
+def test_query_filter_fuzz_did_udfs_match_duckdb(spark, tmp_path):
+    rnd = random.Random(SEED + 7)
+    schema = (
+        "id long, __verdicts array<string>, "
+        "__entity_label_mutations array<string>, BoolA boolean"
+    )
+    data = str(tmp_path / "results.parquet")
+    df = spark.createDataFrame(_make_result_rows(rnd), schema)
+    df.coalesce(1).write.parquet(data)
+    df = spark.read.parquet(data)
+
+    gen = DidGen(rnd)
+    cases = [gen.expr() for _ in range(80)]
+
+    preds = []
+    for i, (sml, _) in enumerate(cases):
+        try:
+            preds.append(compile_query_filter(sml, df).alias(f"p{i}"))
+        except Exception as e:
+            pytest.fail(f"seed={SEED + 7} case {i}: {sml!r} failed to compile: {e}")
+    spark_rows = {r["id"]: r for r in df.select("id", *preds).collect()}
+
+    con = duckdb.connect()
+    sel = ", ".join(f"({q}) AS p{i}" for i, (_, q) in enumerate(cases))
+    duck = con.execute(
+        f"SELECT id, {sel} FROM read_parquet('{data}/*.parquet')"
+    ).fetchall()
+    cols = [d[0] for d in con.description]
+    duck_rows = {row[0]: dict(zip(cols, row)) for row in duck}
+
+    assert set(spark_rows) == set(duck_rows)
+    mismatches = []
+    for i, (sml, sql) in enumerate(cases):
+        for rid, srow in spark_rows.items():
+            s = bool(srow[f"p{i}"]) if srow[f"p{i}"] is not None else False
+            d = bool(duck_rows[rid][f"p{i}"]) if duck_rows[rid][f"p{i}"] is not None else False
+            if s != d:
+                mismatches.append((i, rid, sml, sql, srow[f"p{i}"], duck_rows[rid][f"p{i}"]))
+                break
+    assert not mismatches, f"seed={SEED + 7}: {mismatches[:5]}"

@@ -66,6 +66,20 @@ def main() -> None:
     # The total wall integrates that interference and is the number a
     # capacity planner uses: rows in / seconds until the job is done.
     eff_total = small["wall_both_queries_sec"] / (ratio * large["wall_both_queries_sec"])
+    # FULL_STACK_JOIN=1 adds the stream-stream join as a third stage
+    # (runs after the pipeline+escalation pair); report its own paired
+    # efficiency so the scaling criterion covers all three stateful
+    # stages (VERDICT r6 item 4)
+    join_extra = {}
+    if small.get("join") and large.get("join"):
+        js, jl = small["join"]["join_wall_sec"], large["join"]["join_wall_sec"]
+        join_extra = {
+            f"local[{n_small}]_join_wall": round(js, 1),
+            f"local[{n_large}]_join_wall": round(jl, 1),
+            "join_scaling_efficiency": round(js / (ratio * jl), 3),
+            f"local[{n_small}]_join_state_rows": small["join"]["state_rows_by_batch"],
+            f"local[{n_large}]_join_state_rows": large["join"]["state_rows_by_batch"],
+        }
     print(json.dumps({
         "metric": "everything-on full-stack streaming, per-batch paired efficiency",
         "input_rows": small["rows"],
@@ -85,6 +99,7 @@ def main() -> None:
         "machine_envelope_eff": round(env_eff, 3),
         "normalized_eff": round(eff / env_eff, 3),
         "meets_0.8_target": eff >= 0.8,
+        **join_extra,
     }, indent=2))
 
 
