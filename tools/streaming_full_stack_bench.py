@@ -225,10 +225,17 @@ if q2 is not None and _os.environ.get("FULL_STACK_JOIN", "0") == "1":
             .parquet({input_dir!r})
         )
         alerts3 = spark.readStream.schema(ESC_SCHEMA).parquet(wd + "/alerts")
-        al = dedupe_alerts(
-            alerts3, key="conv_id", alert_ts="escalated_at",
-            bucket="5 minutes", watermark="30 minutes",
-        )
+        # FULL_STACK_JOIN_DEDUPE=0 bypasses the dedupe_alerts hot-key
+        # prefilter (the with/without comparison of VERDICT r6 item 5:
+        # on a Zipf-skewed input one conversation's alerts concentrate a
+        # join partition's buffered state)
+        if _os.environ.get("FULL_STACK_JOIN_DEDUPE", "1") != "0":
+            al = dedupe_alerts(
+                alerts3, key="conv_id", alert_ts="escalated_at",
+                bucket="5 minutes", watermark="30 minutes",
+            )
+        else:
+            al = alerts3.withWatermark("escalated_at", "30 minutes")
         joined = turns_with_recent_alerts(
             turns3, al, alert_ts="escalated_at", lookback_seconds=1800,
             turn_watermark="10 minutes", alert_watermark="30 minutes",
