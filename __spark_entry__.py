@@ -1262,10 +1262,13 @@ def _knn(spark, sf_dir):
     from osprey_spark.operators.similarity import knn_join
 
     # raw float32 embeddings: pairwise_cosine_udf astypes to float64
-    # inside the Arrow batch, identical to a pre-cast column (r7)
+    # inside the Arrow batch, identical to a pre-cast column (r7);
+    # max_query_rows=None skips the eager broadcast-guard probe job —
+    # the query side is vec_id < 10, 10 rows by construction (the guard
+    # exists for unbounded callers, per knn_join's docstring)
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding", "label")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = knn_join(emb, queries, k=3)
+    out = knn_join(emb, queries, k=3, max_query_rows=None)
     return out.select("query_id", "neighbor_id", "rank")
 
 
